@@ -1,0 +1,103 @@
+"""Pure-Python golden generator — the per-document executable spec.
+
+Applies the rule modules driver-side, one document at a time, exactly
+as the reference applies its per-document pipeline
+(``lib/smartglass_ocr.py:413-661`` process order: post-process text ->
+structure/format -> detect language -> extract structured info ->
+summary/insights -> status). The Spark pipeline
+(``smartglass_ocr_spark.pipeline``) must reproduce these outputs with
+span-sequence equality (kind, text, media_ref, order) — BASELINE.json
+``north_rule``.
+"""
+
+from __future__ import annotations
+
+from smartglass_ocr_spark.rules.classify import MEDIA_KINDS, classify_block, strip_html
+from smartglass_ocr_spark.rules.cleanup import clean_for_class
+from smartglass_ocr_spark.rules.confidence import status_for, weighted_confidence
+from smartglass_ocr_spark.rules.extract import confidence_level, extract_structured
+from smartglass_ocr_spark.rules.langdetect import detect_language
+from smartglass_ocr_spark.rules.structure import detect_structure
+from smartglass_ocr_spark.rules.summarize import extract_key_insights, generate_summary
+
+_SPECIAL_CLASSES = ("id_card", "receipt", "form", "table")
+
+
+def process_span(kind: str, text: str | None) -> tuple[str, str | None]:
+    """(block_class, clean_text) for one span — the per-span spec.
+
+    media  -> untouched (None text passes through byte-identical)
+    html   -> boilerplate: text stripped to ""   (north rule:
+              "HTML boilerplate strip"); content: tags stripped, then
+              the F1 pipeline
+    other  -> F1 general cleanup + per-class fix (F2-F7)
+    """
+    if kind in MEDIA_KINDS:
+        return "media", text
+    block_class = classify_block(kind, text)
+    if block_class == "boilerplate":
+        return block_class, ""
+    if kind == "html":
+        return block_class, clean_for_class(block_class, strip_html(text or ""))
+    return block_class, clean_for_class(block_class, text or "")
+
+
+def process_document(doc: dict) -> dict:
+    """Full golden output for one {doc_id, spans} document: cleaned
+    spans in offset order + per-doc derived metadata (FIXTURES.md §2-3).
+    """
+    spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    out_spans = []
+    class_hist: dict[str, int] = {}
+    for s in spans:
+        block_class, clean = process_span(s["kind"], s["text"])
+        class_hist[block_class] = class_hist.get(block_class, 0) + 1
+        out_spans.append(
+            {
+                "kind": s["kind"],
+                "text": clean,
+                "media_ref": s["media_ref"],
+                "offset": s["offset"],
+            }
+        )
+
+    # document text = non-empty cleaned text spans joined in order
+    # (the analogue of the reference's single formatted_text string)
+    doc_text = "\n\n".join(
+        s["text"] for s in out_spans if s["text"]
+    )
+
+    # dominant special class drives extraction (ref dispatcher
+    # lib/information_extraction.py:28-53 keyed by ImageType; our doc
+    # analogue: the most frequent special block class, ties broken by
+    # the fixed order id_card > receipt > form > table)
+    dominant = max(
+        _SPECIAL_CLASSES,
+        key=lambda c: (class_hist.get(c, 0), -_SPECIAL_CLASSES.index(c)),
+    )
+    extract_class = dominant if class_hist.get(dominant, 0) > 0 else "content"
+
+    confidence = weighted_confidence(doc_text)
+    status = status_for(confidence, doc_text)
+    summary = ""
+    if status in ("success", "partial_success") and doc_text:
+        # summary gating: ref lib/smartglass_ocr.py:1212-1230
+        summary = generate_summary(doc_text)
+
+    return {
+        "doc_id": doc["doc_id"],
+        "spans": out_spans,
+        "lang": detect_language(doc_text),
+        "structure": detect_structure(doc_text),
+        "block_class_hist": class_hist,
+        "structured_info": extract_structured(extract_class, doc_text),
+        "summary": summary,
+        "key_insights": extract_key_insights(doc_text) if doc_text else [],
+        "confidence": confidence,
+        "confidence_level": confidence_level(confidence),
+        "status": status,
+    }
+
+
+def golden_outputs(docs: list[dict]) -> list[dict]:
+    return [process_document(d) for d in docs]

@@ -1,0 +1,246 @@
+"""The Spark extraction pipeline (SURVEY.md §7.1 slice, widened).
+
+Stages over ``documents(doc_id, spans array<struct<kind,text,
+media_ref,offset>>)``:
+
+1. ``explode_spans``     — ``inline(spans)``: one narrow stage.
+2. ``classify_and_clean``— ONE Arrow-batched pandas UDF computing
+   (block_class, clean_text); media rows pass through inside the
+   batch (single scan — no filter/union double-read of the source).
+3. ``reassemble``        — groupBy(doc_id) +
+   ``array_sort(collect_list(struct(offset, ...)))``: the W1
+   window-reassembly shuffle. ``two_phase=True`` adds a segment-level
+   pre-assembly keyed by ``offset // segment`` so a mega-document's
+   spans are combined in bounded chunks before the final per-doc merge
+   (SURVEY.md §4 skew plan).
+4. ``with_doc_metadata`` — per-doc derived columns (lang, structure,
+   summary, insights, confidence, status, structured_info) via a
+   second pandas UDF over the assembled doc text.
+
+Per-span semantics = ``smartglass_ocr_spark.golden`` (the executable
+spec); reference citations live in the rules modules.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, MapType, StringType, StructField, StructType,
+)
+
+from smartglass_ocr_spark.corpus import SPAN_STRUCT
+
+SEGMENT_SPANS = 65536  # two-phase reassembly segment width (offsets)
+
+_CLASSIFY_SCHEMA = StructType(
+    [
+        StructField("block_class", StringType()),
+        StructField("clean_text", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_CLASSIFY_SCHEMA)
+def _classify_clean_udf(kind: pd.Series, text: pd.Series) -> pd.DataFrame:
+    # import inside the UDF so executors resolve the module from
+    # --py-files without driver-side pickling of the rule tables
+    from smartglass_ocr_spark.golden import process_span
+
+    out_class: list[str] = []
+    out_text: list[str | None] = []
+    for k, t in zip(kind, text):
+        c, ct = process_span(k, t if isinstance(t, str) else None)
+        out_class.append(c)
+        out_text.append(ct)
+    return pd.DataFrame({"block_class": out_class, "clean_text": out_text})
+
+
+_META_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("structure", StringType()),
+        StructField("structured_info", MapType(StringType(), StringType())),
+        StructField("summary", StringType()),
+        StructField("key_insights", ArrayType(StringType())),
+        StructField("confidence", DoubleType()),
+        StructField("confidence_level", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_META_SCHEMA)
+def _doc_meta_udf(doc_text: pd.Series, class_hist: pd.Series) -> pd.DataFrame:
+    from smartglass_ocr_spark.rules.confidence import status_for, weighted_confidence
+    from smartglass_ocr_spark.rules.extract import confidence_level, extract_structured
+    from smartglass_ocr_spark.rules.langdetect import detect_language
+    from smartglass_ocr_spark.rules.structure import detect_structure
+    from smartglass_ocr_spark.rules.summarize import extract_key_insights, generate_summary
+
+    special = ("id_card", "receipt", "form", "table")
+    rows = []
+    for text, hist in zip(doc_text, class_hist):
+        text = text or ""
+        hist = hist or {}
+        dominant = max(special, key=lambda c: (hist.get(c, 0), -special.index(c)))
+        extract_class = dominant if hist.get(dominant, 0) else "content"
+        confidence = weighted_confidence(text)
+        status = status_for(confidence, text)
+        summary = (
+            generate_summary(text)
+            if status in ("success", "partial_success") and text
+            else ""
+        )
+        rows.append(
+            {
+                "lang": detect_language(text),
+                "structure": detect_structure(text),
+                "structured_info": extract_structured(extract_class, text),
+                "summary": summary,
+                "key_insights": extract_key_insights(text) if text else [],
+                "confidence": confidence,
+                "confidence_level": confidence_level(confidence),
+                "status": status,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """spans array -> one row per span (narrow; generator exec)."""
+    return documents.select("doc_id", F.inline("spans"))
+
+
+def classify_and_clean(span_rows: DataFrame) -> DataFrame:
+    """Adds block_class + clean_text in one Arrow round trip."""
+    result = _classify_clean_udf(F.col("kind"), F.col("text"))
+    return span_rows.withColumn("_cc", result).select(
+        "doc_id",
+        "kind",
+        "media_ref",
+        "offset",
+        F.col("_cc.block_class").alias("block_class"),
+        F.col("_cc.clean_text").alias("text"),
+    )
+
+
+def _ordered_span_struct() -> Column:
+    # offset leads so the binary struct comparison of array_sort is
+    # exactly "order by offset" (offsets are unique within a doc)
+    return F.struct("offset", "kind", "text", "media_ref")
+
+
+def _restore_field_order(sorted_col: Column) -> Column:
+    return F.transform(
+        sorted_col,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+
+
+def reassemble(span_rows: DataFrame, two_phase: bool = False,
+               segment_spans: int = SEGMENT_SPANS) -> DataFrame:
+    """W1 ordered reassembly: doc_id -> spans sorted by offset, plus
+    block_class_hist (the per-doc class histogram used downstream).
+
+    Single-phase: one hash-partial collect_list shuffle on doc_id.
+    Two-phase: pre-assemble per (doc_id, offset // segment_spans) so no
+    single task materializes a mega-doc's full span list during the
+    shuffle sort; the second, far smaller shuffle merges ~n/segment
+    pre-sorted chunks per doc.
+    """
+    def hist_of(classes: Column) -> Column:
+        # fold the class list into a count map, JVM-side
+        return F.aggregate(
+            classes,
+            F.create_map().cast("map<string,int>"),
+            lambda acc, c: F.map_zip_with(
+                acc,
+                F.create_map(c, F.lit(1)),
+                lambda _, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)),
+            ),
+        )
+
+    if not two_phase:
+        grouped = span_rows.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list(_ordered_span_struct())).alias("_sorted"),
+            hist_of(F.collect_list("block_class")).alias("block_class_hist"),
+        )
+        return grouped.select(
+            "doc_id",
+            _restore_field_order(F.col("_sorted")).alias("spans"),
+            "block_class_hist",
+        )
+
+    seg = span_rows.withColumn(
+        "_seg", F.floor(F.col("offset") / F.lit(segment_spans)).cast("int")
+    )
+    stage1 = seg.groupBy("doc_id", "_seg").agg(
+        F.array_sort(F.collect_list(_ordered_span_struct())).alias("_seg_spans"),
+        F.count(F.lit(1)).alias("_n"),
+        F.collect_list("block_class").alias("_classes"),
+    )
+    stage2 = stage1.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_seg", "_seg_spans"))),
+                lambda x: x["_seg_spans"],
+            )
+        ).alias("_sorted"),
+        hist_of(F.flatten(F.collect_list("_classes"))).alias("block_class_hist"),
+    )
+    return stage2.select(
+        "doc_id",
+        _restore_field_order(F.col("_sorted")).alias("spans"),
+        "block_class_hist",
+    )
+
+
+def with_doc_metadata(reassembled: DataFrame) -> DataFrame:
+    """Adds the per-doc derived columns (FIXTURES.md §3)."""
+    texts = F.transform("spans", lambda s: s["text"])
+    doc_text = F.array_join(
+        F.filter(texts, lambda t: t.isNotNull() & (t != F.lit(""))), "\n\n"
+    )
+    meta = _doc_meta_udf(doc_text, F.col("block_class_hist"))
+    return reassembled.withColumn("_m", meta).select(
+        "doc_id",
+        "spans",
+        "block_class_hist",
+        F.col("_m.lang").alias("lang"),
+        F.col("_m.structure").alias("structure"),
+        F.col("_m.structured_info").alias("structured_info"),
+        F.col("_m.summary").alias("summary"),
+        F.col("_m.key_insights").alias("key_insights"),
+        F.col("_m.confidence").alias("confidence"),
+        F.col("_m.confidence_level").alias("confidence_level"),
+        F.col("_m.status").alias("status"),
+    )
+
+
+def run_pipeline(documents: DataFrame, two_phase: bool = False,
+                 with_metadata: bool = True) -> DataFrame:
+    """documents -> cleaned + reassembled (+ metadata) output."""
+    cleaned = classify_and_clean(explode_spans(documents))
+    out = reassemble(cleaned, two_phase=two_phase)
+    if with_metadata:
+        out = with_doc_metadata(out)
+    return out
+
+
+def extracted_span_rows(documents: DataFrame) -> DataFrame:
+    """Flat per-span output (doc_id, order, kind, text, media_ref,
+    block_class) — the exploded view of the pipeline for relational
+    consumers; order = rank of offset within doc (dense 0..n-1)."""
+    from pyspark.sql.window import Window
+
+    cleaned = classify_and_clean(explode_spans(documents))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return cleaned.withColumn("order", F.row_number().over(w) - 1).select(
+        "doc_id", "order", "kind", "text", "media_ref", "block_class", "offset"
+    )

@@ -1,0 +1,333 @@
+"""Structured field extraction (E1-E7 in SURVEY.md §2.8).
+
+Re-expresses ``lib/information_extraction.py`` as pure functions
+returning a *flattened* ``dict[str, str]`` (Spark column type
+``map<string,string>``; FIXTURES.md §3 ``structured_info``). Nested
+shapes (receipt items, table rows) flatten with deterministic keys
+(``item_0_name``, ``row_0``, ...).
+
+Parity citations:
+- dispatcher          -> ``lib/information_extraction.py:28-53``
+- ``extract_id_card`` -> ``lib/information_extraction.py:55-134``
+- ``extract_receipt`` -> ``lib/information_extraction.py:136-276``
+- ``extract_form``    -> ``lib/information_extraction.py:278-329``
+- ``extract_table``   -> ``lib/information_extraction.py:331-528``
+- ``extract_generic`` -> ``lib/information_extraction.py:530-562``
+
+Documented deviation: the reference guards values with
+``not re.match(r'^[:\\-,.;]*', value)`` (``:307``, ``:559``) — that
+pattern matches the empty string, so the guard rejects *every* value
+and the form line-scan / generic extractor are constant no-ops. We
+implement the evident intent (reject values that are only punctuation)
+by anchoring the pattern with ``$``.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------- E2
+_ID_FIELD_PATTERNS = {
+    "name": r"(?:name|nama)[\s:]+([^\n]+)",
+    "date_of_birth": r"(?:date of birth|birth date|birthdate|dob|tanggal lahir)[\s:]+([^\n]+)",
+    "gender": r"(?:gender|sex|jenis kelamin)[\s:]+([^\n]+)",
+    "address": r"(?:address|alamat)[\s:]+([^\n]+)",
+    "id_number": r"(?:id|no|number|nomor)[\s:]+([A-Z0-9\-\s]+)",
+    "expiration_date": r"(?:expiration|expiry|exp|berlaku sampai)[\s:]+([^\n]+)",
+    "issue_date": r"(?:issue|issued|date of issue|tanggal dikeluarkan)[\s:]+([^\n]+)",
+    "nationality": r"(?:nationality|negara|warga negara|citizenship)[\s:]+([^\n]+)",
+    "place_of_birth": r"(?:place of birth|birthplace|tempat lahir)[\s:]+([^\n]+)",
+    "blood_type": r"(?:blood|blood type|golongan darah)[\s:]+([^\n]+)",
+    "marital_status": r"(?:marital status|status perkawinan)[\s:]+([^\n]+)",
+    "occupation": r"(?:occupation|job|pekerjaan)[\s:]+([^\n]+)",
+    "religion": r"(?:religion|agama)[\s:]+([^\n]+)",
+}
+_ID_FIELD_RXS = {f: re.compile(p, re.IGNORECASE) for f, p in _ID_FIELD_PATTERNS.items()}
+_ID_FIELD_LABELS = {
+    "name": ["name", "nama"],
+    "date_of_birth": ["date of birth", "birth date", "birthdate", "dob", "tanggal lahir"],
+    "gender": ["gender", "sex", "jenis kelamin"],
+    "address": ["address", "alamat"],
+    "id_number": ["id", "no", "number", "nomor", "nomor kartu"],
+    "expiration_date": ["expiration", "expiry", "exp", "berlaku sampai"],
+    "issue_date": ["issue", "issued", "date of issue", "tanggal dikeluarkan"],
+    "nationality": ["nationality", "negara", "warga negara", "citizenship"],
+    "place_of_birth": ["place of birth", "birthplace", "tempat lahir"],
+    "blood_type": ["blood", "blood type", "golongan darah"],
+    "marital_status": ["marital status", "status perkawinan"],
+    "occupation": ["occupation", "job", "pekerjaan"],
+    "religion": ["religion", "agama"],
+}
+
+
+def extract_id_card(text: str) -> dict[str, str]:
+    """ID-card fields; note the reference lowercases the haystack
+    before matching (``:84``), so extracted values come out lowercase
+    — reproduced."""
+    out: dict[str, str] = {}
+    lowered = text.lower()
+    for field, rx in _ID_FIELD_RXS.items():
+        m = rx.search(lowered)
+        if m:
+            value = m.group(1).strip()
+            if value:
+                out[field] = value
+    for field, labels in _ID_FIELD_LABELS.items():
+        if field in out:
+            continue
+        for label in labels:
+            m = re.search(rf"\b{re.escape(label)}\s*:\s*([^\n]+)", lowered, re.IGNORECASE)
+            if m and m.group(1).strip():
+                out[field] = m.group(1).strip()
+                break
+            m = re.search(
+                rf"^\s*{re.escape(label)}\s+([^\n]+)", lowered, re.IGNORECASE | re.MULTILINE
+            )
+            if m and m.group(1).strip():
+                out[field] = m.group(1).strip()
+                break
+    return out
+
+
+# ---------------------------------------------------------------- E3
+_PAYMENT_METHODS = (
+    "cash", "card", "credit", "debit", "visa", "mastercard", "amex",
+    "american express", "discover", "tunai", "kartu", "kredit",
+)
+_RECEIPT_ITEM_START_RX = re.compile(r"^(?:items?|description|qty|quantity|item price)", re.IGNORECASE)
+_RECEIPT_ITEM_END_RX = re.compile(r"^(?:subtotal|total|tax|amount)", re.IGNORECASE)
+_ITEM_P1 = re.compile(r"(.+?)\s+(\d+)\s+\$?([0-9\.,]+)")
+_ITEM_P2 = re.compile(r"(.+?)\s+\$?([0-9\.,]+)")
+_ITEM_P3 = re.compile(r"(\d+)(?:\s*[xX]\s*)(.+?)\s+\$?([0-9\.,]+)")
+
+
+def extract_receipt(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    lines = text.split("\n")
+    if lines and lines[0].strip():
+        out["merchant"] = lines[0].strip()
+
+    lowered = text.lower()
+    m = re.search(r"(?:date|tanggal)[\s:]+([0-9/\-\.]+)", lowered)
+    if m:
+        out["date"] = m.group(1).strip()
+    else:
+        m = re.search(r"\b(\d{1,2}[/\-\.]\d{1,2}[/\-\.]\d{2,4})\b", text)
+        if m:
+            out["date"] = m.group(1)
+    m = re.search(r"(?:time|waktu)[\s:]+(\d{1,2}:\d{2}(?::\d{2})?(?:\s*[AP]M)?)", lowered)
+    if m:
+        out["time"] = m.group(1).strip()
+    else:
+        m = re.search(r"\b(\d{1,2}:\d{2}(?::\d{2})?(?:\s*[AP]M)?)\b", text)
+        if m:
+            out["time"] = m.group(1)
+    for key, pat in (
+        ("subtotal", r"(?:subtotal|sub[\s-]?total)[\s:]+\$?([0-9\.,]+)"),
+        ("tax", r"(?:tax|vat|pajak)[\s:]+\$?([0-9\.,]+)"),
+        ("total", r"(?:total|amount|jumlah)[\s:]+\$?([0-9\.,]+)"),
+    ):
+        m = re.search(pat, lowered)
+        if m:
+            out[key] = m.group(1).strip()
+    for method in _PAYMENT_METHODS:
+        if method in lowered:
+            out["payment_method"] = method
+            break
+
+    # item-section state machine (ref :200-274)
+    item_lines: list[str] = []
+    in_items = False
+    for raw in lines:
+        line = raw.strip()
+        if _RECEIPT_ITEM_START_RX.match(line):
+            in_items = True
+            continue
+        if in_items and _RECEIPT_ITEM_END_RX.match(line):
+            in_items = False
+            continue
+        if in_items and line:
+            item_lines.append(line)
+
+    n = 0
+    for line in item_lines:
+        m = _ITEM_P1.match(line)
+        if m:
+            name, qty, price = m.group(1).strip(), m.group(2), m.group(3)
+        else:
+            m = _ITEM_P2.match(line)
+            if m:
+                name, qty, price = m.group(1).strip(), "1", m.group(2)
+            else:
+                m = _ITEM_P3.match(line)
+                if m:
+                    qty, name, price = m.group(1), m.group(2).strip(), m.group(3)
+                else:
+                    name, qty, price = line, "1", "0.00"
+        out[f"item_{n}_name"] = name
+        out[f"item_{n}_quantity"] = qty
+        out[f"item_{n}_price"] = price
+        n += 1
+    out["items_count"] = str(n)
+    return out
+
+
+# ---------------------------------------------------------------- E4
+_FORM_LINE_RX = re.compile(r"([A-Za-z\s]+[A-Za-z])[\s:]+(.+)")
+_PUNCT_ONLY_RX = re.compile(r"^[:\-,.;]*$")  # intent-fixed, see module docstring
+_FORM_SPECIAL_PATTERNS = {
+    "name": r"(?:name|nama)[\s:]+([^\n]+)",
+    "email": r"(?:email|e-mail)[\s:]+([^\n]+)",
+    "phone": r"(?:phone|telephone|tel|hp|handphone)[\s:]+([^\n]+)",
+    "address": r"(?:address|alamat)[\s:]+([^\n]+)",
+    "date": r"(?:date|tanggal)[\s:]+([^\n]+)",
+    "company": r"(?:company|perusahaan)[\s:]+([^\n]+)",
+    "department": r"(?:department|departemen)[\s:]+([^\n]+)",
+}
+
+
+def extract_form(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line:
+            continue
+        m = _FORM_LINE_RX.match(line)
+        if m:
+            field = m.group(1).strip().lower().replace(" ", "_")
+            value = m.group(2).strip()
+            if value and not _PUNCT_ONLY_RX.match(value):
+                out[field] = value
+    for field, pat in _FORM_SPECIAL_PATTERNS.items():
+        if field not in out:
+            m = re.search(pat, text, re.IGNORECASE)
+            if m and m.group(1).strip():
+                out[field] = m.group(1).strip()
+    return out
+
+
+# ---------------------------------------------------------------- E5/E6
+def _is_separator(line: str) -> bool:
+    return all(c in "-=" or c.isspace() for c in line)
+
+
+def _parse_delimited(lines: list[str], delimiter: str) -> tuple[list[str], list[list[str]]]:
+    non_empty = [ln for ln in lines if ln.strip()]
+    if not non_empty:
+        return [], []
+    headers = [h.strip() for h in non_empty[0].split(delimiter) if h.strip()]
+    if not headers:
+        return [], []
+    rows = []
+    for row in non_empty[1:]:
+        if _is_separator(row):
+            continue
+        values = [v.strip() for v in row.split(delimiter)]
+        rows.append(values[: len(headers)])
+    return headers, rows
+
+
+def _parse_space_aligned(lines: list[str]) -> tuple[list[str], list[list[str]]]:
+    """Column starts inferred from word positions of the first <=5 rows
+    (ref :440-469: merge within 5 chars by midpoint, else new column)."""
+    non_empty = [ln for ln in lines if ln.strip()]
+    if not non_empty:
+        return [], []
+    col_starts: list[int] = []
+    for i in range(min(5, len(non_empty))):
+        positions = [m.start() for m in re.finditer(r"\S+", non_empty[i])]
+        if i == 0:
+            col_starts = positions
+            continue
+        new_positions = []
+        for pos in positions:
+            closest = min(col_starts, key=lambda x: abs(x - pos))
+            if abs(closest - pos) < 5:
+                col_starts[col_starts.index(closest)] = (closest + pos) // 2
+            else:
+                new_positions.append(pos)
+        col_starts.extend(new_positions)
+        col_starts.sort()
+    if not col_starts:
+        return [], []
+
+    def cells(line: str) -> list[str]:
+        vals = []
+        for j, start in enumerate(col_starts):
+            end = col_starts[j + 1] if j < len(col_starts) - 1 else len(line)
+            vals.append(line[start:end].strip() if start < len(line) else "")
+        return vals
+
+    headers = [h for h in cells(non_empty[0]) if h]
+    if not headers:
+        return [], []
+    rows = []
+    for row in non_empty[1:]:
+        if _is_separator(row):
+            continue
+        rows.append(cells(row)[: len(headers)])
+    return headers, rows
+
+
+def extract_table(text: str) -> dict[str, str]:
+    lines = text.split("\n")
+    if any("|" in ln for ln in lines):
+        headers, rows = _parse_delimited(lines, "|")
+    elif any("\t" in ln for ln in lines):
+        headers, rows = _parse_delimited(lines, "\t")
+    else:
+        headers, rows = _parse_space_aligned(lines)
+    out = {"headers": "|".join(headers), "n_rows": str(len(rows))}
+    for i, row in enumerate(rows):
+        out[f"row_{i}"] = "|".join(row)
+    return out
+
+
+# ---------------------------------------------------------------- E7
+_GENERIC_KV_RX = re.compile(r"([A-Za-z][A-Za-z\s]{2,20})[\s:]+([^\n:]{2,100})")
+
+
+def extract_generic(text: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line:
+            continue
+        for m in _GENERIC_KV_RX.finditer(line):
+            field = m.group(1).strip().lower().replace(" ", "_")
+            value = m.group(2).strip()
+            if value and not _PUNCT_ONLY_RX.match(value):
+                out[field] = value
+    return out
+
+
+# ---------------------------------------------------------------- E1
+def extract_structured(block_class: str, text: str) -> dict[str, str]:
+    """Dispatcher (ref lib/information_extraction.py:28-53), keyed by
+    our block class instead of ImageType."""
+    if not text:
+        return {}
+    if block_class == "id_card":
+        return extract_id_card(text)
+    if block_class == "receipt":
+        return extract_receipt(text)
+    if block_class == "form":
+        return extract_form(text)
+    if block_class == "table":
+        return extract_table(text)
+    return extract_generic(text)
+
+
+def confidence_level(confidence: float) -> str:
+    """Confidence bands (ref lib/information_extraction.py:621-642)."""
+    if confidence >= 90:
+        return "Very High"
+    if confidence >= 75:
+        return "High"
+    if confidence >= 60:
+        return "Good"
+    if confidence >= 40:
+        return "Moderate"
+    if confidence >= 20:
+        return "Low"
+    return "Very Low"

@@ -1,0 +1,53 @@
+"""Rule-based language detection (F9 in SURVEY.md §2.7).
+
+Faithful re-expression of ``detect_language``
+(ref lib/text_processing.py:1782-1857): keyword-hit scores for
+Indonesian (44 keywords) and English (48), +0.1 per matching verb
+pattern, decision thresholds at 0.15, Latin-char-ratio fallback.
+Output domain: {id, en, latin, non-latin, unknown}.
+"""
+
+from __future__ import annotations
+
+import re
+
+ID_KEYWORDS = (
+    "yang", "dengan", "dan", "untuk", "dari", "pada", "adalah", "ini", "itu",
+    "dalam", "tidak", "akan", "saya", "kamu", "kami", "mereka", "bisa", "oleh",
+    "jika", "telah", "sudah", "harus", "dapat", "karena", "kepada", "maka",
+    "tentang", "setiap", "seperti", "juga", "ada", "sebuah", "tersebut",
+    "anda", "sangat", "kemudian", "saat", "selama", "masih", "lebih",
+    "belum", "ketika", "kita", "baru", "perlu",
+)
+EN_KEYWORDS = (
+    "the", "is", "are", "and", "for", "that", "have", "with", "this", "from",
+    "they", "will", "would", "there", "their", "what", "about", "which",
+    "when", "one", "all", "been", "but", "not", "you", "your", "who",
+    "more", "has", "was", "were", "can", "said", "out", "use", "into",
+    "some", "than", "other", "time", "now", "only", "like", "just",
+)
+_ID_PATTERNS = tuple(re.compile(p) for p in (r"\bakan\s+\w+\b", r"\bsedang\s+\w+\b", r"\btelah\s+\w+\b"))
+_EN_PATTERNS = tuple(re.compile(p) for p in (r"\bwill\s+\w+\b", r"\bhave\s+\w+\b", r"\bhas\s+\w+\b"))
+
+
+def detect_language(text: str) -> str:
+    if not text or len(text) < 20:
+        return "unknown"
+    padded = " " + text.lower() + " "
+    id_score = sum(1 for w in ID_KEYWORDS if f" {w} " in padded) / len(ID_KEYWORDS)
+    en_score = sum(1 for w in EN_KEYWORDS if f" {w} " in padded) / len(EN_KEYWORDS)
+    id_score += 0.1 * sum(1 for rx in _ID_PATTERNS if rx.search(padded))
+    en_score += 0.1 * sum(1 for rx in _EN_PATTERNS if rx.search(padded))
+    if id_score > 0.15 and id_score > en_score:
+        return "id"
+    if en_score > 0.15:
+        return "en"
+    total_alpha = sum(1 for c in text if c.isalpha())
+    if total_alpha > 0:
+        latin = sum(1 for c in text if c.isalpha() and ord(c) < 128)
+        ratio = latin / total_alpha
+        if ratio > 0.9:
+            return "latin"
+        if ratio < 0.3:
+            return "non-latin"
+    return "unknown"
