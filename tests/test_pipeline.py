@@ -1,0 +1,138 @@
+"""End-to-end golden equality (SURVEY.md §5.2 layers 2 & 4).
+
+The Spark pipeline's output must match the pure-Python golden
+generator per document: span-sequence equality
+(kind, text, media_ref, order) — BASELINE.json north_rule — plus the
+invariants: span-count conservation, media byte-identity, offset
+monotonicity, input-order permutation invariance, and single-phase ==
+two-phase (skew path) equivalence.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from smartglass_ocr_spark.corpus import docs_to_df, generate_docs
+from smartglass_ocr_spark.golden import golden_outputs
+from smartglass_ocr_spark.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return generate_docs(n_docs=80, seed=42, scramble=True)
+
+
+@pytest.fixture(scope="module")
+def golden(docs):
+    return {g["doc_id"]: g for g in golden_outputs(docs)}
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, docs):
+    rows = run_pipeline(docs_to_df(spark, docs), with_metadata=True).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def _span_seq(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_doc_count(golden, spark_result):
+    assert set(spark_result) == set(golden)
+
+
+def test_span_sequence_equality(golden, spark_result):
+    for doc_id, g in golden.items():
+        got = _span_seq(spark_result[doc_id]["spans"])
+        want = _span_seq(g["spans"])
+        assert got == want, f"span mismatch in {doc_id}"
+
+
+def test_span_count_conservation(docs, spark_result):
+    for d in docs:
+        assert len(spark_result[d["doc_id"]]["spans"]) == len(d["spans"])
+
+
+def test_media_byte_identity(docs, spark_result):
+    for d in docs:
+        in_media = {
+            s["offset"]: s["media_ref"] for s in d["spans"] if s["media_ref"]
+        }
+        out_media = {
+            s["offset"]: s["media_ref"]
+            for s in spark_result[d["doc_id"]]["spans"]
+            if s["media_ref"]
+        }
+        assert out_media == in_media
+
+
+def test_offset_monotonicity(spark_result):
+    for r in spark_result.values():
+        offsets = [s["offset"] for s in r["spans"]]
+        assert offsets == sorted(offsets)
+        assert len(set(offsets)) == len(offsets)
+
+
+def test_doc_metadata_equality(golden, spark_result):
+    for doc_id, g in golden.items():
+        r = spark_result[doc_id]
+        assert r["lang"] == g["lang"], doc_id
+        assert r["structure"] == g["structure"], doc_id
+        assert r["summary"] == g["summary"], doc_id
+        assert list(r["key_insights"]) == g["key_insights"], doc_id
+        assert r["confidence"] == pytest.approx(g["confidence"]), doc_id
+        assert r["confidence_level"] == g["confidence_level"], doc_id
+        assert r["status"] == g["status"], doc_id
+        assert dict(r["structured_info"]) == g["structured_info"], doc_id
+        assert dict(r["block_class_hist"]) == g["block_class_hist"], doc_id
+
+
+def test_permutation_invariance(spark, docs, spark_result):
+    """Shuffled input span order -> identical output (W1 reassembly
+    sorts by offset, so array order in must not matter)."""
+    import random
+
+    rng = random.Random(7)
+    shuffled = []
+    for d in docs[:20]:
+        spans = list(d["spans"])
+        rng.shuffle(spans)
+        shuffled.append({"doc_id": d["doc_id"], "spans": spans})
+    rows = run_pipeline(docs_to_df(spark, shuffled), with_metadata=False).collect()
+    for r in rows:
+        assert _span_seq(r["spans"]) == _span_seq(spark_result[r["doc_id"]]["spans"])
+
+
+def test_two_phase_reassembly_equivalence(spark, docs, golden):
+    """Salted/segmented skew path produces byte-identical output,
+    including for a pinned mega-doc (segment width forced tiny so the
+    test corpus actually crosses segment boundaries)."""
+    mega = generate_docs(n_docs=10, seed=99, scramble=True, mega_doc_spans=500)
+    df = docs_to_df(spark, mega)
+    single = {
+        r["doc_id"]: r
+        for r in run_pipeline(df, two_phase=False, with_metadata=False).collect()
+    }
+    from smartglass_ocr_spark.pipeline import classify_and_clean, explode_spans, reassemble
+
+    two = {
+        r["doc_id"]: r
+        for r in reassemble(
+            classify_and_clean(explode_spans(df)), two_phase=True, segment_spans=64
+        ).collect()
+    }
+    assert set(single) == set(two)
+    for doc_id in single:
+        assert _span_seq(single[doc_id]["spans"]) == _span_seq(two[doc_id]["spans"])
+        assert dict(single[doc_id]["block_class_hist"]) == dict(two[doc_id]["block_class_hist"])
+
+
+def test_empty_and_single_span_docs(spark):
+    docs = [
+        {"doc_id": "d-single", "spans": [{"kind": "para", "text": "ofthe thing works.", "media_ref": None, "offset": 0}]},
+        {"doc_id": "d-media-only", "spans": [{"kind": "image", "text": None, "media_ref": "m-abc", "offset": 3}]},
+    ]
+    got = {r["doc_id"]: r for r in run_pipeline(docs_to_df(spark, docs)).collect()}
+    g = {x["doc_id"]: x for x in golden_outputs(docs)}
+    for doc_id in g:
+        assert _span_seq(got[doc_id]["spans"]) == _span_seq(g[doc_id]["spans"])
