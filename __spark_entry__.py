@@ -1,38 +1,509 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes each implemented operator (SURVEY.md §2 + the
+training-data ops) over the driver testdata; ``oracle_sql()`` gives
+the DuckDB twin for every SQL-expressible one. Column names/aliases
+match pairwise; floating aggregates are rounded identically on both
+sides; hashes are md5 (identical in Spark and DuckDB); timestamps are
+emitted as epoch microseconds so no timestamp normalization is needed.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the interleaved spans corpus from the flat
+    sf0.001 documents table (one narrow stage), run the extraction
+    pipeline (classify -> clean -> reassemble -> metadata), and return
+    per-doc results with flattened span stats."""
+    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.pipeline import run_pipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    out = run_pipeline(spans_from_flat(docs), with_metadata=True)
+    return out.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.md5(F.to_json("spans")).alias("spans_md5"),
+        "lang",
+        "structure",
+        "summary",
+        "confidence",
+        "status",
+    )
+
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
+
+def _q_w1_ordered_reassembly(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import ordered_reassembly
+
+    return ordered_reassembly(_t(spark, sf_dir, "events"))
+
+
+def _q_w2_gap_sessionize(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import gap_sessionize
+
+    return gap_sessionize(_t(spark, sf_dir, "events"))
+
+
+def _q_a3_topk_per_group(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import topk_per_group
+
+    return topk_per_group(_t(spark, sf_dir, "events"))
+
+
+def _q_a10_ordered_group_concat(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import ordered_group_concat
+
+    return ordered_group_concat(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_tumbling_counts(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+def _q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_q3_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_q5_nation_revenue(spark, sf_dir):
+    """Broadcast the dim chain region<-nation<-customer into the fact
+    join — the classic small-dims pattern."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _q_o3_normalized_dedupe(spark, sf_dir):
+    from smartglass_ocr_spark.ops.dedup import normalized_dedupe
+
+    return normalized_dedupe(_t(spark, sf_dir, "documents"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from smartglass_ocr_spark.ops.dedup import exact_duplicate_clusters
+
+    return exact_duplicate_clusters(_t(spark, sf_dir, "documents"), min_size=1)
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    from smartglass_ocr_spark.ops.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.2, max_shingle_docs=None)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from smartglass_ocr_spark.ops.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), bands=8, n=5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from smartglass_ocr_spark.ops.dedup import simhash32
+
+    return simhash32(_t(spark, sf_dir, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from smartglass_ocr_spark.ops.dedup import fingerprint_min_shingle
+
+    return fingerprint_min_shingle(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_id_counts(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = lang_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality_scores(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _q_knn_cosine(spark, sf_dir):
+    from smartglass_ocr_spark.ops.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, [float(x) for x in query], k=10)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from smartglass_ocr_spark.ops.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucketed_topk(emb, [float(x) for x in query], k=10, bits=4)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    from smartglass_ocr_spark.ops.similarity import cosine_self_near_dup
+
+    # synthetic embeddings are near-orthogonal (max pairwise cos ~0.51
+    # at sf0.01); 0.3 yields a non-trivial candidate set here while the
+    # operator's production threshold would sit at ~0.9
+    return cosine_self_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4)
+
+
+def _q_pipeline_extract(spark, sf_dir):
+    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.pipeline import extracted_span_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = extracted_span_rows(spans_from_flat(docs))
+    return rows.select(
+        "doc_id", "order", "kind", "block_class",
+        F.coalesce(F.md5("text"), F.lit("")).alias("text_md5"),
+        F.coalesce("media_ref", F.lit("")).alias("media_ref"),
+    )
+
+
+def _q_pipeline_doc_meta(spark, sf_dir):
+    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.pipeline import run_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_pipeline(spans_from_flat(docs), with_metadata=True)
+    return out.select(
+        "doc_id", F.size("spans").alias("n_spans"), "lang", "structure",
+        F.round("confidence", 4).alias("confidence"), "status",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w1_ordered_reassembly": _q_w1_ordered_reassembly,
+        "w2_gap_sessionize": _q_w2_gap_sessionize,
+        "a3_topk_per_group": _q_a3_topk_per_group,
+        "a10_ordered_group_concat": _q_a10_ordered_group_concat,
+        "tumbling_counts": _q_tumbling_counts,
+        "q1_pricing_summary": _q_q1_pricing_summary,
+        "q3_top_revenue_orders": _q_q3_top_revenue_orders,
+        "q5_nation_revenue": _q_q5_nation_revenue,
+        "o3_normalized_dedupe": _q_o3_normalized_dedupe,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lang_id_counts": _q_lang_id_counts,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "pipeline_extract": _q_pipeline_extract,
+        "pipeline_doc_meta": _q_pipeline_doc_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------
+# oracles (DuckDB). Omitted for: knn_lsh / embedding_near_dup (LSH
+# planes built from Spark's conv(); verified in pytest against the
+# brute-force twin instead) and pipeline_* (regex pipeline not SQL-
+# expressible; verified by golden-equality pytest).
+# --------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w1_ordered_reassembly": """
+            SELECT user_id,
+                   string_agg(event_type, '→' ORDER BY ts, event_id) AS event_seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "w2_gap_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, event_id, ts, value,
+                       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+                FROM flagged
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   round(sum(value), 2) AS session_value,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "a3_topk_per_group": """
+            SELECT event_type, rank, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       CAST(row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS INT) AS rank
+                FROM events
+            ) WHERE rank <= 3
+        """,
+        "a10_ordered_group_concat": """
+            SELECT l_orderkey,
+                   string_agg(l_partkey::VARCHAR, ',' ORDER BY l_linenumber, l_partkey) AS part_seq,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(sum(l_extendedprice), 2) AS total_price,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "tumbling_counts": """
+            SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS window_start_s,
+                   event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "o3_normalized_dedupe": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+            FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                  FROM documents)
+            GROUP BY norm
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_jaccard": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+        """,
+        "dedup_minhash_lsh": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
+            ), sigs AS (
+                SELECT doc_id, band,
+                       min(md5(band::VARCHAR || ':' || shingle)) AS sig
+                FROM sh, UNNEST(range(0, 8)) AS t(band)
+                GROUP BY doc_id, band
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY doc_id, tok
+            ), lanes AS (
+                SELECT doc_id, i,
+                       CASE WHEN substr(md5(tok), CAST(i + 1 AS INT), 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                            THEN w ELSE -w END AS signed
+                FROM tf, UNNEST(range(0, 32)) AS t(i)
+            ), s AS (
+                SELECT doc_id, i, sum(signed) AS s FROM lanes GROUP BY doc_id, i
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+            FROM s GROUP BY doc_id
+        """,
+        "doc_fingerprint": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
+            )
+            SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+        """,
+        "lang_id_counts": """
+            WITH pred AS (
+                SELECT doc_id, lang,
+                       (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' for ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' this ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' have ') THEN 1 ELSE 0 END) AS en,
+                       (CASE WHEN contains(' ' || lower(text) || ' ', ' yang ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dan ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dengan ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' untuk ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dari ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' adalah ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' ini ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' pada ') THEN 1 ELSE 0 END) AS ind
+                FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN ind >= 2 AND ind > en THEN 'id'
+                        WHEN en >= 2 THEN 'en'
+                        ELSE 'other' END AS predicted,
+                   count(*) AS n
+            FROM pred GROUP BY 1, 2
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(text) AS n_chars,
+                   len(list_filter(regexp_split_to_array(text, '[^A-Za-z]+'),
+                                   x -> length(x) > 0)) AS n_alpha_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH f AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+                       length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+                       (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' in ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' a ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END) AS stop_hits
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(CAST(nonspace AS DOUBLE) / n_tokens, 4) AS mean_word_len,
+                   round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+                   stop_hits,
+                   CASE WHEN n_tokens >= 10 AND stop_hits >= 2 THEN 'keep'
+                        WHEN n_tokens >= 10 THEN 'review'
+                        ELSE 'drop' END AS quality_bucket
+            FROM f
+        """,
+        "knn_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                    CAST(qv AS DOUBLE[])), 6) AS cos
+                FROM embeddings, q
+            )
+            SELECT vec_id,
+                   CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
+                   cos
+            FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+    }

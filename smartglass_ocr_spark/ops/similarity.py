@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force top-k vs one query vector: the
+  correctness baseline. The query vector broadcasts (a literal array);
+  the scan is a single narrow stage + one global top-k (AQE-coalesced
+  sort on k rows per partition via row_number window over a single
+  ordered partition is avoided — we use orderBy + limit, which Spark
+  executes as per-partition TopK + driver merge: no full sort).
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+  buckets (deterministic planes derived from md5 of the lane index —
+  no RNG), candidate bucket probe, exact re-rank inside the bucket.
+  At 10^12 rows the probe touches ~N/2^bits of the data.
+- :func:`cosine_self_near_dup` — embedding near-duplicate pairs by
+  cosine >= threshold within LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_of(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector; deterministic
+    tie-break on id. Returns (vec_id, rank, cos)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_of(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+    )
+    # limit-k first (per-partition TakeOrdered + merge, no full sort),
+    # then rank the k survivors — the window runs on k rows only.
+    ranked = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+    )
+    return ranked.select("vec_id", "rank", "cos")
+
+
+def _lsh_plane_component(lane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random plane component in [-1, 1): derived
+    from md5(lane:dim) so Spark and any oracle agree bit-for-bit."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", lane, dim)), 1, 8), 16, 10).cast("double")
+    return h / F.lit(2147483648.0) - F.lit(1.0)
+
+
+def lsh_bucket_of(vec: Column, bits: int = 8) -> Column:
+    """Sign-of-dot-product bucket id (0 .. 2^bits-1), built from
+    deterministic hyperplanes; pure expression, codegen-friendly."""
+    acc = F.lit(0).cast("int")
+    for lane in range(bits):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda d: _lsh_plane_component(F.lit(str(lane)), d.cast("string")),
+                ),
+                lambda x, p: x * p,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << lane)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, exact
+    cosine re-rank inside it. Recall measured in tests vs
+    :func:`cosine_topk`; at scale, bucket the table ONCE (write
+    bucket as a partition column) and this becomes partition pruning."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    with_bucket = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_of(F.col(vec_col).cast("array<double>"), bits).alias("bucket"),
+    )
+    qdf = embeddings.sparkSession.range(1).select(
+        lsh_bucket_of(q, bits).alias("qbucket")
+    )
+    probe = with_bucket.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
+    scored = probe.select(
+        "vec_id", F.round(cosine_of(F.col("v"), q), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def cosine_self_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH bucket self-join + exact
+    cosine filter. The bucket key bounds the quadratic blowup to
+    within-bucket pairs."""
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        lsh_bucket_of(F.col(vec_col).cast("array<double>"), bits).alias("bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_of(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,88 @@
+"""Text analysis operators (driver brief: language-ID, quality
+scoring, token counting, fingerprinting) over a flat document table.
+
+Everything is built-in expressions — whole-stage codegen, exact SQL
+oracle twins. The full rule-faithful language detector (44+48 keyword
+scores, ref lib/text_processing.py:1782-1857) lives in
+``rules.langdetect`` and runs in the pipeline's metadata UDF; the
+variant here is the JVM-side approximation used for corpus-level
+analytics where a Python round trip per doc is not worth it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# compact keyword panels for the JVM-side language heuristic — a
+# subset of rules/langdetect.py chosen for SQL expressibility
+_EN_PANEL = ("the", "and", "is", "with", "that", "for", "this", "have")
+_ID_PANEL = ("yang", "dan", "dengan", "untuk", "dari", "adalah", "ini", "pada")
+
+
+def _hits(col: Column, words: tuple[str, ...]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    out = F.lit(0)
+    for w in words:
+        out = out + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+    return out
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, predicted) — keyword-panel vote, en/id/other."""
+    en = _hits(F.col(text_col), _EN_PANEL)
+    ind = _hits(F.col(text_col), _ID_PANEL)
+    return docs.select(
+        "doc_id",
+        F.when((ind >= 2) & (ind > en), F.lit("id"))
+        .when(en >= 2, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("predicted"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, n_alpha_tokens) — whitespace tokens
+    plus a BPE-ish alpha-run count (letter runs = rough subword
+    lower bound)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    alpha_runs = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[^A-Za-z]+"), lambda t: F.length(t) > 0
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        alpha_runs.alias("n_alpha_tokens"),
+    )
+
+
+_STOP_PANEL = ("the", "and", "of", "to", "in", "a", "is", "that")
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + bucket: token count, mean word
+    length, punctuation ratio, stopword ratio — the classic
+    pretraining-filter features (C4/Gopher-style)."""
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    stop_hits = _hits(text, _STOP_PANEL)
+    mean_word_len = F.round(
+        (F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens).cast("double"), 4
+    )
+    punct_ratio = F.round((punct / n_chars).cast("double"), 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_hits.alias("stop_hits"),
+        F.when((n_tokens >= 10) & (stop_hits >= 2), F.lit("keep"))
+        .when(n_tokens >= 10, F.lit("review"))
+        .otherwise(F.lit("drop"))
+        .alias("quality_bucket"),
+    )
