@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default: run the headline suite once at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``
+(default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+``--scaling`` additionally runs the flagship extraction job at two
+parallelism levels (N and 4N cores, same input, same seed) and
+reports throughput@N, throughput@4N and the efficiency
+``tput_4N / (4 * tput_N)`` — the sandbox evidence for BASELINE.json's
+two-cluster-size criterion (no real cluster here; see BENCH/BASELINE.md).
+
+Every query executes to a ``noop`` sink (full materialization, no
+driver collect).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "10"))
+
+HEADLINE = [
+    "pipeline_extract_full",  # flagship: the extraction pipeline
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "w2_gap_sessionize",
+    "a10_ordered_group_concat",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "quality_scores",
+    "knn_cosine",
+]
+
+
+def _replicated_docs(spark, sf_dir: str, factor: int):
+    """Deterministically replicate the flat documents table so the
+    flagship job is not startup-dominated at small SF: new doc_id =
+    doc_id * factor + r (disjoint, stable)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if factor <= 1:
+        return docs
+    reps = spark.range(factor).select(F.col("id").alias("r"))
+    return docs.crossJoin(reps).select(
+        (F.col("doc_id") * factor + F.col("r")).alias("doc_id"), "text"
+    )
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def flagship(spark, sf_dir: str, factor: int = REPLICATE):
+    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.pipeline import run_pipeline
+
+    docs = _replicated_docs(spark, sf_dir, factor)
+    return run_pipeline(spans_from_flat(docs, spans_per_doc=12), with_metadata=True)
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        if name == "pipeline_extract_full":
+            _noop(flagship(spark, sf_dir))
+        else:
+            _noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def _flagship_throughput(sf_dir: str, cpus: int, factor: int) -> tuple[float, float]:
+    """(docs/sec, wall sec) for the flagship job at a parallelism
+    level, in a fresh Spark context. A warm-up run at tiny factor
+    first amortizes JVM/codegen warmup out of the measurement."""
+    from smartglass_ocr_spark.session import get_spark
+
+    spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=max(2 * cpus, 16))
+    try:
+        _noop(flagship(spark, sf_dir, factor=1))  # warm-up
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * factor
+        t0 = time.perf_counter()
+        _noop(flagship(spark, sf_dir, factor=factor))
+        wall = time.perf_counter() - t0
+        return n_docs / wall, wall
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    args = ap.parse_args()
+
+    result: dict = {"sf": args.sf_dir, "unit": "sec"}
+
+    if args.scaling:
+        n = max(2, args.cpus // 4)
+        tput_n, wall_n = _flagship_throughput(args.sf_dir, n, REPLICATE)
+        tput_4n, wall_4n = _flagship_throughput(args.sf_dir, args.cpus, REPLICATE)
+        eff = tput_4n / (4 * tput_n)
+        result.update(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(wall_4n, 3),
+                "queries": {"flagship@N": round(wall_n, 3), "flagship@4N": round(wall_4n, 3)},
+                "cores_n": n,
+                "cores_4n": args.cpus,
+                "docs_per_sec_n": round(tput_n, 1),
+                "docs_per_sec_4n": round(tput_4n, 1),
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+        print(json.dumps(result))
+        return
+
+    from smartglass_ocr_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=args.cpus, shuffle_partitions=max(2 * args.cpus, 16))
+    try:
+        timings = run_suite(spark, args.sf_dir)
+    finally:
+        spark.stop()
+    total = round(sum(timings.values()), 3)
+    import duckdb
+
+    n_docs = (
+        duckdb.sql(
+            f"select count(*) from read_parquet('{args.sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+        * REPLICATE
+    )
+    result.update(
+        {
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "queries": timings,
+            "docs_per_sec": round(n_docs / timings["pipeline_extract_full"], 1),
+        }
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Checkpoint/resume semantics (SURVEY.md §5.2 invariant 4:
+idempotence of resume)."""
+
+from __future__ import annotations
+
+import pytest
+
+from smartglass_ocr_spark.checkpoint import (
+    completed_partitions,
+    run_extraction_job,
+    with_partition_id,
+)
+from smartglass_ocr_spark.corpus import docs_to_df, generate_docs
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return {
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+        "metrics": str(tmp_path / "metrics"),
+    }
+
+
+def _collect_output(spark, path):
+    rows = spark.read.parquet(path).collect()
+    return {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in rows
+    }
+
+
+def test_full_run_then_rerun_is_noop(spark, paths):
+    docs = docs_to_df(spark, generate_docs(n_docs=40, seed=1))
+    r1 = run_extraction_job(
+        spark, docs, paths["out"], paths["ckpt"], paths["metrics"], "run-1", n_partitions=8
+    )
+    assert r1["skipped"] == [] and len(r1["processed"]) > 0
+    out1 = _collect_output(spark, paths["out"])
+
+    r2 = run_extraction_job(
+        spark, docs, paths["out"], paths["ckpt"], paths["metrics"], "run-2", n_partitions=8
+    )
+    assert r2["processed"] == []
+    assert r2["skipped"] == r1["processed"]
+    assert _collect_output(spark, paths["out"]) == out1
+
+
+def test_resume_processes_only_incomplete(spark, paths):
+    docs_all = generate_docs(n_docs=40, seed=1)
+    df_all = docs_to_df(spark, docs_all)
+
+    # simulate a partial failure: first run sees only half the docs
+    # (as if the job died mid-way and checkpointed those partitions)
+    bucketed = with_partition_id(df_all, 8)
+    half = bucketed.filter("partition_id < 4").drop("partition_id")
+    run_extraction_job(
+        spark, half, paths["out"], paths["ckpt"], paths["metrics"], "run-1", n_partitions=8
+    )
+    done_before = completed_partitions(spark, paths["ckpt"])
+    assert done_before == {0, 1, 2, 3}
+
+    # resume with the full input: only partitions 4..7 get processed
+    r2 = run_extraction_job(
+        spark, df_all, paths["out"], paths["ckpt"], paths["metrics"], "run-2", n_partitions=8
+    )
+    assert set(r2["skipped"]) == {0, 1, 2, 3}
+    assert set(r2["processed"]) == {4, 5, 6, 7}
+
+    # final output identical to a clean full run
+    out = _collect_output(spark, paths["out"])
+    from smartglass_ocr_spark.golden import golden_outputs
+
+    want = {
+        g["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in g["spans"]]
+        for g in golden_outputs(docs_all)
+    }
+    assert out == want
+
+
+def test_checkpoint_and_metrics_schema(spark, paths):
+    docs = docs_to_df(spark, generate_docs(n_docs=10, seed=3))
+    run_extraction_job(
+        spark, docs, paths["out"], paths["ckpt"], paths["metrics"], "run-1", n_partitions=4
+    )
+    ckpt = spark.read.parquet(paths["ckpt"])
+    assert set(ckpt.columns) == {
+        "run_id", "partition_id", "attempt", "status", "n_docs", "n_spans",
+        "started_at", "finished_at", "input_snapshot",
+    }
+    assert ckpt.filter("status = 'complete'").count() == ckpt.count()
+    assert ckpt.agg({"n_docs": "sum"}).first()[0] == 10
+    metrics = spark.read.parquet(paths["metrics"])
+    assert {"run_id", "partition_id", "docs_per_sec", "spans_per_sec", "stage", "wall_ms"} == set(
+        metrics.columns
+    )
+    assert metrics.filter("docs_per_sec <= 0").count() == 0

@@ -1,0 +1,147 @@
+"""Semantics tests for the training-data operators against small
+hand-checkable inputs + pure-Python oracles (the DuckDB oracle parity
+is covered separately by tools/check_contract.py / the driver gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (4, "completely different text about spark dataframes and shuffle partitions here"),
+        (5, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"),  # case/space dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_clusters(docs):
+    from smartglass_ocr_spark.ops.dedup import exact_duplicate_clusters
+
+    out = {r["text_md5"]: r for r in exact_duplicate_clusters(docs).collect()}
+    assert len(out) == 1
+    (cluster,) = out.values()
+    assert cluster["n_docs"] == 2 and cluster["keep_doc_id"] == 1
+    # digest definition matches hashlib.md5 (and hence DuckDB md5)
+    text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    assert hashlib.md5(text.encode()).hexdigest() in out
+
+
+def test_normalized_dedupe(docs):
+    from smartglass_ocr_spark.ops.dedup import normalized_dedupe
+
+    out = {r["doc_id"]: r["n_dupes"] for r in normalized_dedupe(docs).collect()}
+    # 1,2,5 collapse (case+space normalization) -> keep doc 1
+    assert out[1] == 3
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_jaccard_pairs(docs):
+    from smartglass_ocr_spark.ops.dedup import jaccard_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_docs=None).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc joins nothing
+
+
+def test_minhash_candidates_superset_of_true_dups(docs):
+    from smartglass_ocr_spark.ops.dedup import minhash_lsh_candidates
+
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs, bands=8, n=3).collect()
+    }
+    assert (1, 2) in cands  # identical docs always share every band
+
+
+def test_simhash_properties(docs):
+    from smartglass_ocr_spark.ops.dedup import simhash32
+
+    out = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    assert out[1] == out[2]  # identical text -> identical fingerprint
+    # near-dup -> small hamming distance; unrelated -> larger
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+    assert all(0 <= v < 2**32 for v in out.values())
+
+
+def test_fingerprint_deterministic(docs):
+    from smartglass_ocr_spark.ops.dedup import fingerprint_min_shingle
+
+    a = {r["doc_id"]: r["fingerprint"] for r in fingerprint_min_shingle(docs).collect()}
+    b = {r["doc_id"]: r["fingerprint"] for r in fingerprint_min_shingle(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # plant a near-duplicate of vector 0
+    v0 = rows[0][1]
+    rows.append((200, [x + 0.01 for x in v0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(embeddings):
+    from smartglass_ocr_spark.ops.similarity import cosine_topk
+
+    q = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    out = cosine_topk(embeddings, [float(x) for x in q], k=3).collect()
+    assert [r["vec_id"] for r in out][:2] == [0, 200]  # self, then planted near-dup
+    assert out[0]["cos"] == pytest.approx(1.0)
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_lsh_topk_recall(embeddings):
+    """LSH probe must find the planted near-dup (same bucket as the
+    query by construction at small angle) and overlap the exact top-k."""
+    from smartglass_ocr_spark.ops.similarity import cosine_topk, lsh_bucketed_topk
+
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, q, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_bucketed_topk(embeddings, q, k=10, bits=4).collect()]
+    assert 0 in approx and 200 in approx
+    # recall@10 of a 4-bit single probe on 200 gaussian vectors: expect
+    # a loose but nonzero overlap
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_embedding_near_dup_pairs(embeddings):
+    from smartglass_ocr_spark.ops.similarity import cosine_self_near_dup
+
+    pairs = cosine_self_near_dup(embeddings, threshold=0.99, bits=4).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 200)}
+
+
+def test_quality_and_tokens(spark):
+    from smartglass_ocr_spark.ops.textstats import quality_scores, token_counts
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat in a field of green grass today"), (2, "x")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in quality_scores(df).collect()}
+    assert q[1]["quality_bucket"] == "keep"
+    assert q[2]["quality_bucket"] == "drop"
+    t = {r["doc_id"]: r for r in token_counts(df).collect()}
+    assert t[1]["n_tokens"] == 13
+    assert t[2]["n_tokens"] == 1
