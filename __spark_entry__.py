@@ -391,11 +391,13 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
             ), sh AS (
-                SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle
+                SELECT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
                 FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
             ), sigs AS (
+                -- band b permutation = nibble-group rotation of the shared md5
                 SELECT doc_id, band,
-                       min(md5(band::VARCHAR || ':' || shingle)) AS sig
+                       min(substr(h, CAST(4 * band + 1 AS INT), CAST(32 - 4 * band AS INT))
+                           || substr(h, 1, CAST(4 * band AS INT))) AS sig
                 FROM sh, UNNEST(range(0, 8)) AS t(band)
                 GROUP BY doc_id, band
             )
