@@ -29,11 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
     sf0.001 documents table (one narrow stage), run the extraction
     pipeline (classify -> clean -> reassemble -> metadata), and return
     per-doc results with flattened span stats."""
-    from smartglass_ocr_spark.corpus import spans_from_flat
-    from smartglass_ocr_spark.pipeline import run_pipeline
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
+    from smartglass_ocr_spark.pipeline import run_pipeline_rows
 
     docs = _t(spark, "/root/testdata/sf0.001", "documents")
-    out = run_pipeline(spans_from_flat(docs), with_metadata=True)
+    out = run_pipeline_rows(span_rows_from_flat(docs), with_metadata=True)
     return out.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
@@ -218,11 +218,11 @@ def _q_embedding_near_dup(spark, sf_dir):
 
 
 def _q_pipeline_extract(spark, sf_dir):
-    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
     from smartglass_ocr_spark.pipeline import extracted_span_rows
 
     docs = _t(spark, sf_dir, "documents")
-    rows = extracted_span_rows(spans_from_flat(docs))
+    rows = extracted_span_rows(span_rows=span_rows_from_flat(docs))
     return rows.select(
         "doc_id", "order", "kind", "block_class",
         F.coalesce(F.md5("text"), F.lit("")).alias("text_md5"),
@@ -231,11 +231,11 @@ def _q_pipeline_extract(spark, sf_dir):
 
 
 def _q_pipeline_doc_meta(spark, sf_dir):
-    from smartglass_ocr_spark.corpus import spans_from_flat
-    from smartglass_ocr_spark.pipeline import run_pipeline
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
+    from smartglass_ocr_spark.pipeline import run_pipeline_rows
 
     docs = _t(spark, sf_dir, "documents")
-    out = run_pipeline(spans_from_flat(docs), with_metadata=True)
+    out = run_pipeline_rows(span_rows_from_flat(docs), with_metadata=True)
     return out.select(
         "doc_id", F.size("spans").alias("n_spans"), "lang", "structure",
         F.round("confidence", 4).alias("confidence"), "status",

@@ -66,11 +66,13 @@ def _noop(df) -> None:
 
 
 def flagship(spark, sf_dir: str, factor: int = REPLICATE):
-    from smartglass_ocr_spark.corpus import spans_from_flat
-    from smartglass_ocr_spark.pipeline import run_pipeline
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
+    from smartglass_ocr_spark.pipeline import run_pipeline_rows
 
     docs = _replicated_docs(spark, sf_dir, factor)
-    return run_pipeline(spans_from_flat(docs, spans_per_doc=12), with_metadata=True)
+    return run_pipeline_rows(
+        span_rows_from_flat(docs, spans_per_doc=12), with_metadata=True
+    )
 
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:

@@ -267,6 +267,41 @@ def _kind_expr(doc_id: Column, idx: Column) -> Column:
     return expr
 
 
+def _span_fields(i: Column) -> list[Column]:
+    """The four span field expressions for span index *i* of the
+    current row (needs columns doc_id, w, chunk in scope). Shared
+    between the array and row derivations so both produce bit-
+    identical spans. All plain (non-higher-order) expressions —
+    whole-stage-codegen friendly."""
+    kind = _kind_expr(F.col("doc_id"), i)
+    offset = (i * 7 + F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(5))).cast("int")
+    is_media = kind.isin("image", "video", "audio")
+    span_text = F.concat_ws(
+        " ", F.slice(F.col("w"), (i * F.col("chunk") + 1).cast("int"), F.col("chunk"))
+    )
+    media_ref = F.concat(
+        F.lit("m-"),
+        F.substring(F.sha1(F.concat_ws(":", F.col("doc_id"), offset.cast("string"))), 1, 12),
+    )
+    return [
+        kind.alias("kind"),
+        F.when(is_media, F.lit(None).cast("string")).otherwise(span_text).alias("text"),
+        F.when(is_media, media_ref).otherwise(F.lit(None).cast("string")).alias("media_ref"),
+        offset.alias("offset"),
+    ]
+
+
+def _flat_base(documents: DataFrame, spans_per_doc: int) -> DataFrame:
+    words = F.split(F.col("text"), r"\s+")
+    n = F.greatest(F.lit(1), F.least(F.lit(spans_per_doc), F.size(words)))
+    return documents.select(
+        F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
+        words.alias("w"),
+        F.ceil(F.size(words) / n).cast("int").alias("chunk"),
+        n.cast("int").alias("n"),
+    )
+
+
 def spans_from_flat(documents: DataFrame, spans_per_doc: int = 8) -> DataFrame:
     """Derive the canonical spans-shaped corpus from the driver's flat
     ``documents(doc_id bigint, text string, ...)`` table, entirely with
@@ -278,37 +313,33 @@ def spans_from_flat(documents: DataFrame, spans_per_doc: int = 8) -> DataFrame:
     ``spans_per_doc`` spans; per-span kind is a deterministic hash of
     (doc_id, span index); media spans carry the FIXTURES.md media_ref
     ``"m-" + sha1(doc_id:offset)[:12]`` and NULL text.
+
+    NOTE: use this when the *array* table itself is the product (e.g.
+    materializing the corpus). A pipeline that immediately explodes
+    should start from :func:`span_rows_from_flat` instead — exploding
+    a higher-order-function-derived array re-evaluates the interpreted
+    lambda under GenerateExec (benched ~100x slower than exploding a
+    materialized array).
     """
-
-    def make_span(i: Column) -> Column:
-        kind = _kind_expr(F.col("doc_id"), i)
-        offset = (i * 7 + F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(5))).cast("int")
-        is_media = kind.isin("image", "video", "audio")
-        span_text = F.concat_ws(
-            " ", F.slice(F.col("w"), (i * F.col("chunk") + 1).cast("int"), F.col("chunk"))
-        )
-        media_ref = F.concat(
-            F.lit("m-"),
-            F.substring(F.sha1(F.concat_ws(":", F.col("doc_id"), offset.cast("string"))), 1, 12),
-        )
-        return F.struct(
-            kind.alias("kind"),
-            F.when(is_media, F.lit(None).cast("string")).otherwise(span_text).alias("text"),
-            F.when(is_media, media_ref).otherwise(F.lit(None).cast("string")).alias("media_ref"),
-            offset.alias("offset"),
-        )
-
-    words = F.split(F.col("text"), r"\s+")
-    n = F.greatest(F.lit(1), F.least(F.lit(spans_per_doc), F.size(words)))
-    return (
-        documents.select(
-            F.format_string("doc-%012d", F.col("doc_id")).alias("doc_id"),
-            words.alias("w"),
-            F.ceil(F.size(words) / n).cast("int").alias("chunk"),
-            n.cast("int").alias("n"),
-        )
-        .select(
-            "doc_id",
-            F.transform(F.sequence(F.lit(0), F.col("n") - 1), make_span).alias("spans"),
-        )
+    return _flat_base(documents, spans_per_doc).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 1), lambda i: F.struct(*_span_fields(i))
+        ).alias("spans"),
     )
+
+
+def span_rows_from_flat(documents: DataFrame, spans_per_doc: int = 8) -> DataFrame:
+    """Exploded twin of :func:`spans_from_flat`: one row per span,
+    derived with plain codegen'd expressions (explode a sequence of
+    indices, then project the shared span-field expressions) — no
+    higher-order functions anywhere, so the whole derivation stays
+    inside WholeStageCodegen. Bit-identical values to exploding
+    :func:`spans_from_flat`."""
+    idx = _flat_base(documents, spans_per_doc).select(
+        "doc_id",
+        "w",
+        "chunk",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("_i"),
+    )
+    return idx.select("doc_id", *_span_fields(F.col("_i")))

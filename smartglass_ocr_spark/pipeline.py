@@ -223,23 +223,39 @@ def with_doc_metadata(reassembled: DataFrame) -> DataFrame:
     )
 
 
-def run_pipeline(documents: DataFrame, two_phase: bool = False,
-                 with_metadata: bool = True) -> DataFrame:
-    """documents -> cleaned + reassembled (+ metadata) output."""
-    cleaned = classify_and_clean(explode_spans(documents))
+def run_pipeline_rows(span_rows: DataFrame, two_phase: bool = False,
+                      with_metadata: bool = True) -> DataFrame:
+    """Pipeline from already-exploded span rows (doc_id, kind, text,
+    media_ref, offset) -> cleaned + reassembled (+ metadata) output.
+    Start here when the source is row-shaped (e.g.
+    :func:`~smartglass_ocr_spark.corpus.span_rows_from_flat`) — it
+    skips the array build + explode round trip."""
+    cleaned = classify_and_clean(span_rows)
     out = reassemble(cleaned, two_phase=two_phase)
     if with_metadata:
         out = with_doc_metadata(out)
     return out
 
 
-def extracted_span_rows(documents: DataFrame) -> DataFrame:
+def run_pipeline(documents: DataFrame, two_phase: bool = False,
+                 with_metadata: bool = True) -> DataFrame:
+    """documents(doc_id, spans array) -> cleaned + reassembled
+    (+ metadata) output."""
+    return run_pipeline_rows(
+        explode_spans(documents), two_phase=two_phase, with_metadata=with_metadata
+    )
+
+
+def extracted_span_rows(documents: DataFrame | None = None,
+                        span_rows: DataFrame | None = None) -> DataFrame:
     """Flat per-span output (doc_id, order, kind, text, media_ref,
     block_class) — the exploded view of the pipeline for relational
     consumers; order = rank of offset within doc (dense 0..n-1)."""
     from pyspark.sql.window import Window
 
-    cleaned = classify_and_clean(explode_spans(documents))
+    if span_rows is None:
+        span_rows = explode_spans(documents)
+    cleaned = classify_and_clean(span_rows)
     w = Window.partitionBy("doc_id").orderBy("offset")
     return cleaned.withColumn("order", F.row_number().over(w) - 1).select(
         "doc_id", "order", "kind", "text", "media_ref", "block_class", "offset"
