@@ -69,9 +69,17 @@ def flagship(spark, sf_dir: str, factor: int = REPLICATE):
     from smartglass_ocr_spark.corpus import span_rows_from_flat
     from smartglass_ocr_spark.pipeline import run_pipeline_rows
 
+    # ONE exchange total: hash-repartition the compact flat rows by
+    # doc_id (inside span_rows_from_flat, before the explode) — the
+    # reassembly groupBy reuses that partitioning, and the fused doc
+    # stage runs every Python rule after the shuffle in a single
+    # Arrow crossing
+    from smartglass_ocr_spark.pipeline import run_pipeline_fused
+
+    n_parts = spark.sparkContext.defaultParallelism * 2
     docs = _replicated_docs(spark, sf_dir, factor)
-    return run_pipeline_rows(
-        span_rows_from_flat(docs, spans_per_doc=12), with_metadata=True
+    return run_pipeline_fused(
+        span_rows_from_flat(docs, spans_per_doc=12, partitions=n_parts)
     )
 
 
@@ -90,37 +98,73 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+SCALING_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "50"))
+
+
 def _flagship_throughput(sf_dir: str, cpus: int, factor: int) -> tuple[float, float]:
     """(docs/sec, wall sec) for the flagship job at a parallelism
-    level, in a fresh Spark context. A warm-up run at tiny factor
-    first amortizes JVM/codegen warmup out of the measurement."""
+    level, in a fresh Spark context: one warm-up (JVM/codegen/python
+    workers), then best-of-3 timed runs (local-mode wall clock is
+    noisy; the best run reflects the plan, not the noise)."""
     from smartglass_ocr_spark.session import get_spark
 
     spark = get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=max(2 * cpus, 16))
     try:
         _noop(flagship(spark, sf_dir, factor=1))  # warm-up
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * factor
-        t0 = time.perf_counter()
-        _noop(flagship(spark, sf_dir, factor=factor))
-        wall = time.perf_counter() - t0
-        return n_docs / wall, wall
+        job = flagship(spark, sf_dir, factor=factor)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _noop(job)
+            best = min(best, time.perf_counter() - t0)
+        return n_docs / best, best
     finally:
         spark.stop()
+
+
+def _pinned_throughput(sf_dir: str, cpus: int, factor: int) -> tuple[float, float]:
+    """Run the flagship measurement in a subprocess pinned (taskset)
+    to exactly ``cpus`` cores. Unpinned local[N] is NOT an N-core
+    cluster — the JVM task threads and the Python UDF sidecar
+    processes spill onto every core of the machine — so pinning is
+    the honest two-cluster-size emulation the scaling criterion
+    needs. Falls back to unpinned in-process if taskset is missing."""
+    import shutil
+    import subprocess
+
+    if shutil.which("taskset") is None:
+        return _flagship_throughput(sf_dir, cpus, factor)
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}", sys.executable, os.path.abspath(__file__),
+        "--flagship-once", "--cpus", str(cpus), "--factor", str(factor),
+        "--sf-dir", sf_dir,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    return payload["docs_per_sec"], payload["wall"]
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--flagship-once", action="store_true")
+    ap.add_argument("--factor", type=int, default=SCALING_FACTOR)
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--cpus", type=int, default=CPUS)
     args = ap.parse_args()
 
     result: dict = {"sf": args.sf_dir, "unit": "sec"}
 
+    if args.flagship_once:
+        tput, wall = _flagship_throughput(args.sf_dir, args.cpus, args.factor)
+        print(json.dumps({"docs_per_sec": round(tput, 1), "wall": round(wall, 3)}))
+        return
+
     if args.scaling:
         n = max(2, args.cpus // 4)
-        tput_n, wall_n = _flagship_throughput(args.sf_dir, n, REPLICATE)
-        tput_4n, wall_4n = _flagship_throughput(args.sf_dir, args.cpus, REPLICATE)
+        tput_n, wall_n = _pinned_throughput(args.sf_dir, n, args.factor)
+        tput_4n, wall_4n = _pinned_throughput(args.sf_dir, args.cpus, args.factor)
         eff = tput_4n / (4 * tput_n)
         result.update(
             {

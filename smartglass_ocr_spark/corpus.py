@@ -329,14 +329,26 @@ def spans_from_flat(documents: DataFrame, spans_per_doc: int = 8) -> DataFrame:
     )
 
 
-def span_rows_from_flat(documents: DataFrame, spans_per_doc: int = 8) -> DataFrame:
+def span_rows_from_flat(documents: DataFrame, spans_per_doc: int = 8,
+                        partitions: int | None = None) -> DataFrame:
     """Exploded twin of :func:`spans_from_flat`: one row per span,
     derived with plain codegen'd expressions (explode a sequence of
     indices, then project the shared span-field expressions) — no
     higher-order functions anywhere, so the whole derivation stays
     inside WholeStageCodegen. Bit-identical values to exploding
-    :func:`spans_from_flat`."""
-    idx = _flat_base(documents, spans_per_doc).select(
+    :func:`spans_from_flat`.
+
+    ``partitions``: hash-repartition the COMPACT flat rows by doc_id
+    before the explode. Generate/Project preserve that partitioning on
+    the very doc_id attribute a downstream ``groupBy("doc_id")``
+    clusters on, so the reassembly aggregation needs NO further
+    exchange — the whole pipeline then shuffles only the short flat
+    rows, never the 10x-wider span rows. (A pandas UDF between would
+    break this: ArrowEvalPython drops outputPartitioning.)"""
+    base = _flat_base(documents, spans_per_doc)
+    if partitions:
+        base = base.repartition(partitions, "doc_id")
+    idx = base.select(
         "doc_id",
         "w",
         "chunk",

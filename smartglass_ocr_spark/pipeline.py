@@ -26,7 +26,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType, DoubleType, MapType, StringType, StructField, StructType,
+    ArrayType, DoubleType, IntegerType, MapType, StringType, StructField,
+    StructType,
 )
 
 from smartglass_ocr_spark.corpus import SPAN_STRUCT
@@ -223,13 +224,102 @@ def with_doc_metadata(reassembled: DataFrame) -> DataFrame:
     )
 
 
+_SPAN_STRUCT_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+_DOC_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(_SPAN_STRUCT_TYPE)),
+        StructField("block_class_hist", MapType(StringType(), IntegerType())),
+        StructField("lang", StringType()),
+        StructField("structure", StringType()),
+        StructField("structured_info", MapType(StringType(), StringType())),
+        StructField("summary", StringType()),
+        StructField("key_insights", ArrayType(StringType())),
+        StructField("confidence", DoubleType()),
+        StructField("confidence_level", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def reassemble_raw(span_rows: DataFrame) -> DataFrame:
+    """Collect each doc's RAW spans into one array — unsorted: the
+    fused doc stage sorts by offset in Python (cheaper than a JVM
+    array_sort + field-reorder round trip). This is the pipeline's
+    single wide operation; when the input is already hash-partitioned
+    by doc_id (or derived narrowly from doc-shaped rows, which
+    Generate preserves), EnsureRequirements inserts NO exchange."""
+    return span_rows.groupBy("doc_id").agg(
+        F.collect_list(F.struct("kind", "text", "media_ref", "offset")).alias("spans")
+    )
+
+
+def fused_doc_stage(assembled: DataFrame) -> DataFrame:
+    """classify + clean + reassembly-order + all doc metadata in ONE
+    Arrow round trip per batch of whole documents, by running the
+    golden executable spec (`golden.process_document`) directly —
+    output equality with the staged pipeline is by construction.
+
+    Why fused: ArrowEvalPython does not propagate outputPartitioning,
+    so any pandas-UDF stage *before* the reassembly groupBy forces a
+    second full-payload shuffle; running every Python rule *after* the
+    single raw-span shuffle keeps the plan at one exchange total and
+    one Arrow crossing instead of two."""
+
+    def run(batches):
+        from smartglass_ocr_spark.golden import process_document
+
+        for pdf in batches:
+            # Arrow hands each struct element as a dict with exactly
+            # the span keys — feed them to the spec directly, no
+            # per-span rebuild
+            rows = [
+                process_document({"doc_id": doc_id, "spans": spans})
+                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
+            ]
+            yield pd.DataFrame(rows)
+
+    return assembled.mapInPandas(run, _DOC_OUT_SCHEMA)
+
+
+def run_pipeline_fused(span_rows: DataFrame,
+                       partitions: int | None = None) -> DataFrame:
+    """Optimized end-to-end pipeline: ONE shuffle (raw-span
+    reassembly), ONE Arrow crossing (fused classify/clean/meta).
+    Bit-identical output to ``run_pipeline_rows(with_metadata=True)``
+    (asserted in tests). Use the staged pipeline when intermediate
+    span rows are needed relationally; use this for throughput."""
+    if partitions:
+        span_rows = span_rows.repartition(partitions, "doc_id")
+    return fused_doc_stage(reassemble_raw(span_rows))
+
+
 def run_pipeline_rows(span_rows: DataFrame, two_phase: bool = False,
-                      with_metadata: bool = True) -> DataFrame:
+                      with_metadata: bool = True,
+                      partitions: int | None = None) -> DataFrame:
     """Pipeline from already-exploded span rows (doc_id, kind, text,
     media_ref, offset) -> cleaned + reassembled (+ metadata) output.
     Start here when the source is row-shaped (e.g.
     :func:`~smartglass_ocr_spark.corpus.span_rows_from_flat`) — it
-    skips the array build + explode round trip."""
+    skips the array build + explode round trip.
+
+    ``partitions``: hash-repartition by doc_id up front. Set this when
+    the source arrives in too few splits (small files, a crossJoin-
+    replicated input, a single kafka partition): the pandas-UDF stages
+    then run at full parallelism AND the reassembly groupBy reuses the
+    hash partitioning, so the repartition replaces — not adds to — the
+    aggregation shuffle. Leave None when the scan already yields
+    enough splits (the 100 TB case: parquet row-group splits)."""
+    if partitions:
+        span_rows = span_rows.repartition(partitions, "doc_id")
     cleaned = classify_and_clean(span_rows)
     out = reassemble(cleaned, two_phase=two_phase)
     if with_metadata:

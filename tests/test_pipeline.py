@@ -136,3 +136,32 @@ def test_empty_and_single_span_docs(spark):
     g = {x["doc_id"]: x for x in golden_outputs(docs)}
     for doc_id in g:
         assert _span_seq(got[doc_id]["spans"]) == _span_seq(g[doc_id]["spans"])
+
+
+def test_fused_pipeline_equals_staged(spark):
+    """run_pipeline_fused (one shuffle, one Arrow crossing) must be
+    bit-identical to the staged explode->classify->reassemble->meta
+    pipeline across every output column, including nested spans,
+    hist maps and metadata."""
+    from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused
+
+    df = docs_to_df(spark, generate_docs(n_docs=60, seed=23, scramble=True))
+    staged = run_pipeline(df, with_metadata=True)
+    fused = run_pipeline_fused(explode_spans(df))
+    assert staged.columns == fused.columns
+    a = {r["doc_id"]: r.asDict(recursive=True) for r in staged.collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True) for r in fused.collect()}
+    assert a == b
+
+
+def test_fused_pipeline_matches_golden(spark):
+    from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused
+
+    docs = generate_docs(n_docs=40, seed=31, scramble=True)
+    got = {
+        r["doc_id"]: r for r in run_pipeline_fused(explode_spans(docs_to_df(spark, docs))).collect()
+    }
+    for g in golden_outputs(docs):
+        assert _span_seq(got[g["doc_id"]]["spans"]) == _span_seq(g["spans"])
+        assert got[g["doc_id"]]["summary"] == g["summary"]
+        assert got[g["doc_id"]]["status"] == g["status"]
