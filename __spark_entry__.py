@@ -242,6 +242,70 @@ def _q_pipeline_doc_meta(spark, sf_dir):
     )
 
 
+def _q_session_window(spark, sf_dir):
+    from smartglass_ocr_spark.streaming import session_window_agg
+
+    out = session_window_agg(_t(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end").cast("timestamp")).alias("session_end_us"),
+        "n_events",
+        "session_value",
+    )
+
+
+def _q_entity_harvest(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import entity_harvest
+
+    return entity_harvest(_t(spark, sf_dir, "documents"))
+
+
+def _q_signage_content(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import signage_classify
+
+    return (
+        signage_classify(_t(spark, sf_dir, "documents"))
+        .groupBy("signage_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_pipeline_fused(spark, sf_dir):
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
+    from smartglass_ocr_spark.pipeline import run_pipeline_fused
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_pipeline_fused(span_rows_from_flat(docs))
+    return out.select(
+        "doc_id", F.size("spans").alias("n_spans"), "lang", "structure",
+        F.round("confidence", 4).alias("confidence"), "status",
+    )
+
+
+def _q_media_catalog(spark, sf_dir):
+    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.ops.multimodal import media_catalog
+
+    cat = media_catalog(spans_from_flat(_t(spark, sf_dir, "documents")))
+    return cat.select(
+        "media_ref", "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.codec").alias("codec"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.ops.multimodal import media_catalog, sample_frames
+
+    cat = media_catalog(spans_from_flat(_t(spark, sf_dir, "documents")))
+    return sample_frames(cat, every_ms=10_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "w1_ordered_reassembly": _q_w1_ordered_reassembly,
@@ -266,14 +330,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "pipeline_extract": _q_pipeline_extract,
         "pipeline_doc_meta": _q_pipeline_doc_meta,
+        "session_window": _q_session_window,
+        "entity_harvest": _q_entity_harvest,
+        "signage_content": _q_signage_content,
+        "pipeline_fused": _q_pipeline_fused,
+        "media_catalog": _q_media_catalog,
+        "frame_sample": _q_frame_sample,
     }
 
 
 # --------------------------------------------------------------------
 # oracles (DuckDB). Omitted for: knn_lsh / embedding_near_dup (LSH
 # planes built from Spark's conv(); verified in pytest against the
-# brute-force twin instead) and pipeline_* (regex pipeline not SQL-
-# expressible; verified by golden-equality pytest).
+# brute-force twin instead); pipeline_* / pipeline_fused (regex
+# pipeline not SQL-expressible; verified by golden-equality pytest,
+# fused additionally asserted bit-identical to the staged path);
+# media_catalog / frame_sample (metadata derived via Spark xxhash64,
+# no DuckDB twin; schema/determinism/fan-out verified in pytest).
 # --------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
@@ -494,6 +567,69 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_tokens >= 10 THEN 'review'
                         ELSE 'drop' END AS quality_bucket
             FROM f
+        """,
+        "session_window": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS session_start_us,
+                   max(epoch_us(ts)) + 1800000000 AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS session_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "entity_harvest": """
+            SELECT doc_id,
+                   list_sort(list_distinct(
+                       regexp_extract_all(text, '[A-Z][a-z]+ [A-Z][a-z]+')))[1:3] AS names,
+                   list_sort(list_distinct(
+                       regexp_extract_all(text, '\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}')))[1:2] AS dates
+            FROM documents
+        """,
+        "signage_content": """
+            WITH c AS (
+                SELECT CASE
+                    WHEN contains(lower(text),'menu') OR contains(lower(text),'restaurant')
+                      OR contains(lower(text),'cafe') OR contains(lower(text),'food')
+                      OR contains(lower(text),'kuliner') THEN 'restaurant_promotion'
+                    WHEN contains(lower(text),'sale') OR contains(lower(text),'discount')
+                      OR contains(lower(text),'diskon') OR contains(lower(text),'store')
+                      OR contains(lower(text),'shop') THEN 'retail_promotion'
+                    WHEN contains(lower(text),'promo') OR contains(lower(text),'offer')
+                      OR contains(lower(text),'gratis') OR contains(lower(text),'free')
+                      THEN 'promotion'
+                    WHEN contains(lower(text),'for sale') OR contains(lower(text),'for rent')
+                      OR contains(lower(text),'dijual') OR contains(lower(text),'disewakan')
+                      THEN 'property'
+                    WHEN contains(lower(text),'dilarang') OR contains(lower(text),'pemerintah')
+                      OR contains(lower(text),'kantor') OR contains(lower(text),'office')
+                      THEN 'government'
+                    WHEN contains(lower(text),'masjid') OR contains(lower(text),'mosque')
+                      OR contains(lower(text),'church') OR contains(lower(text),'gereja')
+                      THEN 'religious'
+                    WHEN contains(lower(text),'selamat') OR contains(lower(text),'congratulations')
+                      OR contains(lower(text),'happy') OR contains(lower(text),'welcome')
+                      THEN 'celebration'
+                    WHEN contains(lower(text),'exit') OR contains(lower(text),'entrance')
+                      OR contains(lower(text),'arah') OR contains(lower(text),'masuk')
+                      OR contains(lower(text),'keluar') THEN 'directional'
+                    WHEN contains(lower(text),'danger') OR contains(lower(text),'warning')
+                      OR contains(lower(text),'awas') OR contains(lower(text),'hati-hati')
+                      OR contains(lower(text),'caution') THEN 'warning'
+                    ELSE 'general' END AS signage_class
+                FROM documents
+            )
+            SELECT signage_class, count(*) AS n FROM c GROUP BY signage_class
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

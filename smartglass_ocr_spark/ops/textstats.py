@@ -86,3 +86,62 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("drop"))
         .alias("quality_bucket"),
     )
+
+
+def entity_harvest(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """A12 entity harvest (ref lib/text_processing.py:2184-2222:
+    names/dates regexes, distinct, truncation): top-3 Title-Case
+    name pairs and top-2 date literals per doc. Distinct + sort +
+    slice keeps the output deterministic and oracle-comparable.
+    Pure codegen expressions; both regexes are Java/RE2-compatible
+    so the DuckDB oracle uses the identical patterns."""
+    text = F.col(text_col)
+    names = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(text, F.lit(r"[A-Z][a-z]+ [A-Z][a-z]+"), 0)
+            )
+        ),
+        1,
+        3,
+    )
+    dates = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    text, F.lit(r"\d{1,2}[/-]\d{1,2}[/-]\d{2,4}"), 0
+                )
+            )
+        ),
+        1,
+        2,
+    )
+    return docs.select("doc_id", names.alias("names"), dates.alias("dates"))
+
+
+# F15 signage content classes (ref app/core/ocr_processor.py:273-343
+# keyword ladder); order = precedence, first hit wins
+_SIGNAGE_LADDER = (
+    ("restaurant_promotion", ("menu", "restaurant", "cafe", "food", "kuliner")),
+    ("retail_promotion", ("sale", "discount", "diskon", "store", "shop")),
+    ("promotion", ("promo", "offer", "gratis", "free")),
+    ("property", ("for sale", "for rent", "dijual", "disewakan")),
+    ("government", ("dilarang", "pemerintah", "kantor", "office")),
+    ("religious", ("masjid", "mosque", "church", "gereja")),
+    ("celebration", ("selamat", "congratulations", "happy", "welcome")),
+    ("directional", ("exit", "entrance", "arah", "masuk", "keluar")),
+    ("warning", ("danger", "warning", "awas", "hati-hati", "caution")),
+)
+
+
+def signage_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """F15 signage content classifier as a when-ladder over lowered
+    text; 'general' fallback. One narrow projection."""
+    lowered = F.lower(F.col(text_col))
+    expr = F.lit("general")
+    for cls, words in reversed(_SIGNAGE_LADDER):
+        hit = F.lit(False)
+        for w in words:
+            hit = hit | lowered.contains(w)
+        expr = F.when(hit, F.lit(cls)).otherwise(expr)
+    return docs.select("doc_id", expr.alias("signage_class"))

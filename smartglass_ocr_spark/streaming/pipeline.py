@@ -1,0 +1,108 @@
+"""Streaming operators (see package docstring for scope).
+
+Scale notes: the file source lists + checkpoints processed files, so
+a landing-zone directory of parquet partitions becomes an incremental
+feed with no external queue; ``maxFilesPerTrigger`` bounds micro-batch
+size. The foreachBatch extraction reuses the fused batch pipeline —
+one shuffle + one Arrow crossing per micro-batch — and writes append-
+only parquet, so replays of a failed batch overwrite nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from smartglass_ocr_spark.corpus import SPAN_STRUCT
+
+DOCS_STREAM_SCHEMA = f"doc_id string, spans array<{SPAN_STRUCT}>"
+EVENTS_SCHEMA = (
+    "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+)
+
+
+def stream_documents(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Incremental reader over a landing directory of span-corpus
+    parquet files. Schema is pinned (streaming sources must not
+    infer); file-source checkpointing makes each file exactly-once."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def stream_extract(
+    stream_docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the fused extraction pipeline on every micro-batch and
+    append results as parquet. ``foreachBatch`` is the right tool
+    here (not a streaming agg): each document arrives whole — one row
+    — so reassembly never crosses batch boundaries and needs no
+    streaming state. available_now=True drains the backlog and stops
+    (the batch-parity mode used by tests and backfills)."""
+    from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = run_pipeline_fused(explode_spans(batch_df))
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            output_dir
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window counts per event_type. On a stream the
+    watermark bounds how late an event may arrive and still update
+    its window (state for closed windows is dropped); on a batch
+    frame the same expression degenerates to a plain groupBy."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap sessionization with the built-in ``session_window`` (the
+    declarative twin of ops.windows.gap_sessionize): consecutive
+    events of a user belong to one session while each is < gap after
+    the previous; the session closes gap after the last event.
+    Works on batch frames (DuckDB-oracled) and on streams (with a
+    watermark, state per open session only)."""
+    src = events.withWatermark("ts", gap) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,121 @@
+"""Streaming surface: incremental extraction parity with batch,
+exactly-once file handling across restarts, windowed aggs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smartglass_ocr_spark.corpus import docs_to_df, generate_docs
+from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused
+from smartglass_ocr_spark.streaming import (
+    session_window_agg,
+    stream_documents,
+    stream_extract,
+    windowed_event_counts,
+)
+
+
+def _span_seq(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+@pytest.fixture()
+def corpus_dir(spark, tmp_path):
+    """Two parquet 'arrival' files of the seeded corpus."""
+    docs = generate_docs(n_docs=50, seed=77, scramble=True)
+    d = str(tmp_path / "landing")
+    docs_to_df(spark, docs[:30]).write.mode("overwrite").parquet(d)
+    docs_to_df(spark, docs[30:]).write.mode("append").parquet(d)
+    return d, docs
+
+
+def test_stream_extract_matches_batch(spark, tmp_path, corpus_dir):
+    src_dir, _ = corpus_dir
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract(stream_documents(spark, src_dir), out, ckpt)
+    q.awaitTermination(120)
+
+    streamed = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["doc_id"]: r
+        for r in run_pipeline_fused(
+            explode_spans(spark.read.parquet(src_dir))
+        ).collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for k in batch:
+        assert _span_seq(streamed[k]["spans"]) == _span_seq(batch[k]["spans"])
+        assert streamed[k]["summary"] == batch[k]["summary"]
+        assert streamed[k]["confidence"] == batch[k]["confidence"]
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path, corpus_dir):
+    """Restarting with the same checkpoint must not reprocess files;
+    new files are picked up incrementally."""
+    src_dir, docs = corpus_dir
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_extract(stream_documents(spark, src_dir), out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == len(docs)
+
+    # restart with no new data -> no new rows
+    stream_extract(stream_documents(spark, src_dir), out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+    # a late-arriving file -> only its docs are appended
+    late = generate_docs(n_docs=7, seed=101)
+    for d in late:
+        d["doc_id"] = "late-" + d["doc_id"]
+    docs_to_df(spark, late).write.mode("append").parquet(src_dir)
+    stream_extract(stream_documents(spark, src_dir), out, ckpt).awaitTermination(120)
+    final = spark.read.parquet(out)
+    assert final.count() == n1 + 7
+    assert final.filter(F.col("doc_id").startswith("late-")).count() == 7
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    events.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+        ).parquet(src)
+    )
+    agg = windowed_event_counts(stream.select("event_id", "user_id", "event_type", "ts", "value"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert streamed == batch
+
+
+def test_session_window_properties(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sess = session_window_agg(events).collect()
+    assert sess
+    by_user: dict = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r)
+    total = sum(r["n_events"] for r in sess)
+    assert total == events.count()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["session_start"])
+        for a, b in zip(rows, rows[1:]):
+            assert a["session_end"] <= b["session_start"]  # disjoint
