@@ -78,6 +78,7 @@ def run_extraction_job(
     n_partitions: int = 64,
     input_snapshot: str = "parquet",
     two_phase: bool = False,
+    use_fused: bool = True,
 ) -> dict:
     """Run the extraction pipeline partition-incrementally.
 
@@ -85,8 +86,15 @@ def run_extraction_job(
     Re-running after success is a no-op; re-running after a partial
     failure processes only the incomplete partitions and overwrites
     only their own output files.
+
+    ``use_fused``: the input here is already doc-shaped (one row =
+    one whole spans array), so the fused doc stage runs with ZERO
+    reassembly shuffle — the only exchange left is the output
+    clustering by partition_id. Set False (optionally with
+    ``two_phase``) to route through the staged explode/reassemble
+    pipeline, e.g. when mega-docs need segment-level pre-assembly.
     """
-    from smartglass_ocr_spark.pipeline import run_pipeline
+    from smartglass_ocr_spark.pipeline import fused_doc_stage, run_pipeline
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
@@ -98,9 +106,12 @@ def run_extraction_job(
     t0 = time.perf_counter()
     # partition_id is a pure function of doc_id — recompute instead of
     # joining back (saves a shuffle)
-    result = with_partition_id(
-        run_pipeline(todo.drop("partition_id"), two_phase=two_phase), n_partitions
+    cleaned = (
+        fused_doc_stage(todo.drop("partition_id"))
+        if use_fused
+        else run_pipeline(todo.drop("partition_id"), two_phase=two_phase)
     )
+    result = with_partition_id(cleaned, n_partitions)
     # one pass: write output partitioned by the stable bucket id
     (
         result.repartition("partition_id")
