@@ -302,6 +302,27 @@ def run_pipeline_fused(span_rows: DataFrame,
     return fused_doc_stage(reassemble_raw(span_rows))
 
 
+def with_markdown(pipeline_out: DataFrame) -> DataFrame:
+    """Adds the F14 rendered-report column (rules.markdown) to a
+    pipeline output frame — one Arrow crossing, off the equality
+    path. At scale this is the column written to the report sink
+    (ref sink S4, one .md file per doc, becomes one column in the
+    results table)."""
+
+    def run(batches):
+        from smartglass_ocr_spark.rules.markdown import render_markdown
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["markdown"] = [
+                render_markdown(row) for row in pdf.to_dict("records")
+            ]
+            yield pdf
+
+    schema = StructType(pipeline_out.schema.fields + [StructField("markdown", StringType())])
+    return pipeline_out.mapInPandas(run, schema)
+
+
 def run_pipeline_rows(span_rows: DataFrame, two_phase: bool = False,
                       with_metadata: bool = True,
                       partitions: int | None = None) -> DataFrame:

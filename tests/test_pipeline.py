@@ -165,3 +165,24 @@ def test_fused_pipeline_matches_golden(spark):
         assert _span_seq(got[g["doc_id"]]["spans"]) == _span_seq(g["spans"])
         assert got[g["doc_id"]]["summary"] == g["summary"]
         assert got[g["doc_id"]]["status"] == g["status"]
+
+
+def test_markdown_rendering(spark):
+    from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused, with_markdown
+
+    df = docs_to_df(spark, generate_docs(n_docs=20, seed=5))
+    out = with_markdown(run_pipeline_fused(explode_spans(df)))
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        md = r["markdown"]
+        assert md.startswith(f"# {r['doc_id']}")
+        assert "| Field | Value |" in md
+        if r["summary"]:
+            assert "## Summary" in md and "\n> " in md
+        for s in r["spans"]:
+            if s["media_ref"]:
+                assert f"({s['media_ref']})" in md
+    # deterministic
+    again = {r["doc_id"]: r["markdown"] for r in out.collect()}
+    assert again == {r["doc_id"]: r["markdown"] for r in rows}
