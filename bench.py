@@ -37,11 +37,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "w2_gap_sessionize",
+    "session_window",
     "a10_ordered_group_concat",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "doc_fingerprint",
     "quality_scores",
+    "entity_harvest",
     "knn_cosine",
 ]
 
@@ -87,6 +89,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    _noop(flagship(spark, sf_dir, factor=1))  # JVM/codegen/worker warmup
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
