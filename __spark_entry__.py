@@ -284,10 +284,10 @@ def _q_pipeline_fused(spark, sf_dir):
 
 
 def _q_media_catalog(spark, sf_dir):
-    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
     from smartglass_ocr_spark.ops.multimodal import media_catalog
 
-    cat = media_catalog(spans_from_flat(_t(spark, sf_dir, "documents")))
+    cat = media_catalog(span_rows_from_flat(_t(spark, sf_dir, "documents")))
     return cat.select(
         "media_ref", "media_type",
         F.col("meta.width").alias("width"),
@@ -299,10 +299,10 @@ def _q_media_catalog(spark, sf_dir):
 
 
 def _q_frame_sample(spark, sf_dir):
-    from smartglass_ocr_spark.corpus import spans_from_flat
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
     from smartglass_ocr_spark.ops.multimodal import media_catalog, sample_frames
 
-    cat = media_catalog(spans_from_flat(_t(spark, sf_dir, "documents")))
+    cat = media_catalog(span_rows_from_flat(_t(spark, sf_dir, "documents")))
     return sample_frames(cat, every_ms=10_000)
 
 

@@ -47,17 +47,23 @@ def _meta_field(ref: Column, salt: str, lo: int, hi: int) -> Column:
     return (F.pmod(F.xxhash64(F.concat(ref, F.lit(":" + salt))), F.lit(hi - lo)) + lo).cast("int")
 
 
-def media_catalog(documents: DataFrame) -> DataFrame:
+def media_catalog(source: DataFrame) -> DataFrame:
     """Media table derived from the spans corpus: one row per media
     span, with a deterministic binary payload (64 bytes = unhex of
     sha2-512 of the ref — a stand-in for real object-store bytes) and
     typed metadata. At production scale this table is the ingest
     target for the actual bytes; everything downstream only depends on
-    (media_ref, media_type, content, meta)."""
+    (media_ref, media_type, content, meta).
+
+    ``source`` may be the array-shaped documents table (a ``spans``
+    column — exploded here) or already-exploded span rows; prefer
+    rows derived via ``corpus.span_rows_from_flat`` when available
+    (exploding an expression-derived array re-evaluates interpreted
+    lambdas under GenerateExec)."""
     ref = F.col("media_ref")
+    rows = source.select(F.inline("spans")) if "spans" in source.columns else source
     media = (
-        documents.select(F.inline("spans"))
-        .filter(F.col("kind").isin(*MEDIA_KINDS) & ref.isNotNull())
+        rows.filter(F.col("kind").isin(*MEDIA_KINDS) & ref.isNotNull())
         .select(ref, F.col("kind").alias("media_type"))
         .dropDuplicates(["media_ref"])
     )
