@@ -208,6 +208,14 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, [float(x) for x in query], k=10, bits=4)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    from smartglass_ocr_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, [float(x) for x in query], k=10, n_centroids=8, nprobe=4)
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from smartglass_ocr_spark.ops.similarity import cosine_self_near_dup
 
@@ -327,6 +335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality_scores,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "pipeline_extract": _q_pipeline_extract,
         "pipeline_doc_meta": _q_pipeline_doc_meta,

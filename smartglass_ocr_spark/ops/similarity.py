@@ -114,6 +114,135 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def ivf_build_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k seed vectors chosen by
+    hash (pmod(xxhash64(id), ...) — stable under row order), refined
+    with ``iters`` Lloyd steps. Each step is one broadcast-join assign
+    + one groupBy mean — O(n·k) work, no driver-side loops over data;
+    only the k centroids (tiny) ever reach the driver."""
+    n = embeddings.count()
+    stride = max(1, n // k)
+    seeds = (
+        embeddings.filter(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("c"))
+        .collect()
+    )
+    centroids = [list(r["c"]) for r in seeds]
+    spark = embeddings.sparkSession
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+        )
+        v = embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        assigned = (
+            v.join(F.broadcast(cent_df))
+            .withColumn("cos", cosine_of(F.col("v"), F.col("c")))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("cid", F.transform("dm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        new = {r["cid"]: list(r["c"]) for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, v, cid): nearest-centroid bucket per vector. At scale
+    this is written ONCE with cid as a partition column; probes then
+    prune partitions instead of scanning."""
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+    )
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return (
+        v.join(F.broadcast(cent_df))
+        .withColumn("cos", cosine_of(F.col("v"), F.col("c")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: nearest ``nprobe`` centroid buckets are
+    scanned and exact-reranked (~nprobe/k of the data touched). Pass
+    prebuilt ``centroids``/``assigned`` to amortize the index across
+    queries (the production shape); built ad hoc otherwise. Recall vs
+    brute force is pinned in tests."""
+    import math
+
+    if centroids is None:
+        centroids = ivf_build_centroids(
+            embeddings, k=n_centroids, vec_col=vec_col, id_col=id_col
+        )
+    if assigned is None:
+        assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col)
+
+    qn = math.sqrt(sum(x * x for x in query)) or 1.0
+
+    def qcos(c: list[float]) -> float:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query, c)) / (qn * cn)
+
+    probe_cids = [
+        cid for cid, _ in sorted(
+            ((i, qcos(c)) for i, c in enumerate(centroids)),
+            key=lambda t: (-t[1], t[0]),
+        )[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = assigned.filter(F.col("cid").isin(probe_cids)).select(
+        "vec_id", F.round(cosine_of(F.col("v"), q), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def cosine_self_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -145,3 +145,30 @@ def test_quality_and_tokens(spark):
     t = {r["doc_id"]: r for r in token_counts(df).collect()}
     assert t[1]["n_tokens"] == 13
     assert t[2]["n_tokens"] == 1
+
+
+def test_ivf_topk_recall(embeddings):
+    from smartglass_ocr_spark.ops.similarity import (
+        cosine_topk, ivf_assign, ivf_build_centroids, ivf_topk,
+    )
+
+    query = [float(x) for x in embeddings.filter("vec_id = 3").first()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(embeddings, query, k=10).collect()]
+
+    cents = ivf_build_centroids(embeddings, k=8, iters=2)
+    assert len(cents) == 8
+    assigned = ivf_assign(embeddings, cents).cache()
+    # every vector lands in exactly one bucket
+    assert assigned.count() == embeddings.count()
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            embeddings, query, k=10, nprobe=4, centroids=cents, assigned=assigned
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # the query's own vector is always found (its bucket is probed first)
+    assert 3 in approx and approx[0] == 3
+    # determinism: same build twice -> same centroids
+    assert cents == ivf_build_centroids(embeddings, k=8, iters=2)
