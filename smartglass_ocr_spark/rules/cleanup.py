@@ -52,11 +52,20 @@ _PUNCT_SPACING = re.compile(r"([.!?,:;])([A-Z0-9])")
 _CAMEL_SPLIT = re.compile(r"([a-z])([A-Z])")
 _MULTI_NEWLINE = re.compile(r"\n{3,}")
 _HYPHEN_BREAK = re.compile(r"(\w+)-\n(\w+)")
+_HAS_DIGIT = re.compile(r"\d")
+
+
+_NON_BMP = re.compile(r"[\U00010000-\U0010FFFF]")
 
 
 def strip_non_bmp(text: str) -> str:
-    """Drop astral-plane chars (ref lib/text_processing.py:92)."""
-    return "".join(c for c in text if ord(c) < 65536)
+    """Drop astral-plane chars (ref lib/text_processing.py:92).
+    max() is a single C-speed scan; astral chars compare above every
+    BMP char, so pure-BMP text (the overwhelming case) returns
+    untouched without the per-char Python loop this used to be."""
+    if not text or max(text) < "\U00010000":
+        return text
+    return _NON_BMP.sub("", text)
 
 
 def general_cleanup(text: str) -> str:
@@ -72,8 +81,11 @@ def general_cleanup(text: str) -> str:
     text = text.replace("''", '"').replace(",,", '"')
     text = text.replace("`", "'")
     text = _BULLET_RX.sub("• ", text)
-    for rx, rep in _DIGIT_CONFUSIONS:
-        text = rx.sub(rep, text)
+    # the six digit-context subs can only fire on digit-bearing text;
+    # one C-speed scan skips all six otherwise (identical output)
+    if _HAS_DIGIT.search(text):
+        for rx, rep in _DIGIT_CONFUSIONS:
+            text = rx.sub(rep, text)
     text = _SPACE_LOWER_UPPER.sub(" ", text)
     text = _SPACE_ALPHA_DIGIT.sub(" ", text)
     text = _SPACE_DIGIT_ALPHA.sub(" ", text)
@@ -81,7 +93,8 @@ def general_cleanup(text: str) -> str:
     text = _PUNCT_SPACING.sub(r"\1 \2", text)
     text = _CAMEL_SPLIT.sub(r"\1 \2", text)
     text = _MULTI_NEWLINE.sub("\n\n", text)
-    text = _HYPHEN_BREAK.sub(r"\1\2", text)
+    if "-" in text:
+        text = _HYPHEN_BREAK.sub(r"\1\2", text)
     return text
 
 

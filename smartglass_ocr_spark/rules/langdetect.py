@@ -34,8 +34,12 @@ def detect_language(text: str) -> str:
     if not text or len(text) < 20:
         return "unknown"
     padded = " " + text.lower() + " "
-    id_score = sum(1 for w in ID_KEYWORDS if f" {w} " in padded) / len(ID_KEYWORDS)
-    en_score = sum(1 for w in EN_KEYWORDS if f" {w} " in padded) / len(EN_KEYWORDS)
+    # " w " substring-in-padded is exactly "w is a single-space-
+    # delimited token of padded" (padded starts/ends with a space),
+    # so one split + set intersection replaces 92 full-text scans
+    words = set(padded.split(" "))
+    id_score = sum(1 for w in ID_KEYWORDS if w in words) / len(ID_KEYWORDS)
+    en_score = sum(1 for w in EN_KEYWORDS if w in words) / len(EN_KEYWORDS)
     id_score += 0.1 * sum(1 for rx in _ID_PATTERNS if rx.search(padded))
     en_score += 0.1 * sum(1 for rx in _EN_PATTERNS if rx.search(padded))
     if id_score > 0.15 and id_score > en_score:
