@@ -68,6 +68,32 @@ def _append_metrics(spark: SparkSession, path: str, rows: list[tuple]) -> None:
     spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(path)
 
 
+def ewma_metrics(
+    spark: SparkSession, metrics_path: str, alpha: float = 0.7
+) -> DataFrame:
+    """A8 rolling-stat analogue (ref lib/smartglass_ocr.py:1022-1075:
+    EWMA 0.7/0.3 success-rate accumulator): per partition, the
+    exponentially weighted docs/sec across runs in run_id order —
+    computed as an in-row fold over the per-partition run history
+    (collect_list + array_sort + aggregate), one hash-agg shuffle.
+    Unlike the reference's mutable global, this is recomputed from
+    the immutable metrics log, so it is deterministic and replayable."""
+    m = spark.read.parquet(metrics_path)
+    runs = F.array_sort(F.collect_list(F.struct("run_id", "docs_per_sec")))
+    ewma = F.aggregate(
+        runs,
+        F.lit(None).cast("double"),
+        lambda acc, r: F.when(acc.isNull(), r["docs_per_sec"]).otherwise(
+            F.lit(alpha) * acc + F.lit(1 - alpha) * r["docs_per_sec"]
+        ),
+    )
+    return m.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.round(ewma, 3).alias("ewma_docs_per_sec"),
+        F.round(F.avg("docs_per_sec"), 3).alias("mean_docs_per_sec"),
+    )
+
+
 def run_extraction_job(
     spark: SparkSession,
     documents: DataFrame,

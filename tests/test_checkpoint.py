@@ -95,3 +95,26 @@ def test_checkpoint_and_metrics_schema(spark, paths):
         metrics.columns
     )
     assert metrics.filter("docs_per_sec <= 0").count() == 0
+
+
+def test_ewma_metrics(spark, paths):
+    from smartglass_ocr_spark.checkpoint import ewma_metrics, run_extraction_job
+    from smartglass_ocr_spark.corpus import docs_to_df, generate_docs
+
+    docs = docs_to_df(spark, generate_docs(n_docs=30, seed=3))
+    out, ckpt, metrics = paths
+    # two runs: second resumes (no-op) so metrics has one run; force a
+    # second metrics run with a fresh checkpoint dir
+    run_extraction_job(spark, docs, out, ckpt, metrics, run_id="r1", n_partitions=4)
+    run_extraction_job(spark, docs, out, str(ckpt) + "2", metrics, run_id="r2", n_partitions=4)
+    got = {r["partition_id"]: r for r in ewma_metrics(spark, metrics).collect()}
+    raw = spark.read.parquet(metrics).collect()
+    by_pid = {}
+    for r in sorted(raw, key=lambda r: r["run_id"]):
+        by_pid.setdefault(r["partition_id"], []).append(r["docs_per_sec"])
+    for pid, vals in by_pid.items():
+        e = vals[0]
+        for v in vals[1:]:
+            e = 0.7 * e + 0.3 * v
+        assert got[pid]["n_runs"] == len(vals)
+        assert abs(got[pid]["ewma_docs_per_sec"] - round(e, 3)) < 1e-6
