@@ -1,0 +1,72 @@
+"""Plan-shape regression tests — the physical properties the engine's
+scale story depends on, pinned so a refactor can't silently regress
+them: exchange counts, predicate pushdown, column pruning, and
+whole-stage codegen coverage.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_flagship_single_data_exchange(spark):
+    """The fused flagship moves data through exactly ONE hash
+    exchange (the compact flat rows); the reassembly groupBy reuses
+    that partitioning and the pandas stage runs after it."""
+    import bench
+
+    df = bench.flagship(spark, SF, factor=2)
+    plan = _plan(df)
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan
+
+
+def test_q1_pushdown_and_pruning(spark, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # filter reaches the scan
+    assert "l_shipdate" in scan and "DataFilters: [isnotnull(l_shipdate" in scan
+    # only the 6 referenced columns are read (lineitem has 16)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1).split(",")
+    assert len(cols) == 6, cols
+
+
+def test_token_counts_column_pruning(spark, queries):
+    plan = _plan(queries["token_counts"](spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1).split(",")
+    assert sorted(c.split("#")[0] for c in cols) == ["doc_id", "text"]
+
+
+def test_simhash_no_higher_order_functions(spark, queries):
+    """simhash must stay in the explode + codegen-agg shape (the HOF
+    fold benched ~15x slower); its plan must contain no interpreted
+    lambda functions and exactly one aggregation exchange."""
+    plan = _plan(queries["dedup_simhash"](spark, SF))
+    assert "lambdafunction" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # partial + final agg around the single exchange (map-side combine)
+    assert "partial_sum" in plan
+
+
+def test_broadcast_joins_in_q5(spark, queries):
+    """The dim chain must broadcast, never shuffle-join."""
+    plan = _plan(queries["q5_nation_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
