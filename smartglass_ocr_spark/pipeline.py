@@ -250,15 +250,34 @@ _DOC_OUT_SCHEMA = StructType(
 )
 
 
-def reassemble_raw(span_rows: DataFrame) -> DataFrame:
+def reassemble_raw(span_rows: DataFrame, two_phase: bool = False,
+                   segment_spans: int = SEGMENT_SPANS) -> DataFrame:
     """Collect each doc's RAW spans into one array — unsorted: the
     fused doc stage sorts by offset in Python (cheaper than a JVM
     array_sort + field-reorder round trip). This is the pipeline's
     single wide operation; when the input is already hash-partitioned
     by doc_id (or derived narrowly from doc-shaped rows, which
-    Generate preserves), EnsureRequirements inserts NO exchange."""
-    return span_rows.groupBy("doc_id").agg(
-        F.collect_list(F.struct("kind", "text", "media_ref", "offset")).alias("spans")
+    Generate preserves), EnsureRequirements inserts NO exchange.
+
+    ``two_phase``: mega-doc skew path — pre-collect per
+    (doc_id, offset // segment_spans) so no single shuffle-map task
+    buffers a mega-doc's full span list; the second agg merges a few
+    hundred segment arrays per doc. (The final per-doc row is still
+    whole — a doc must fit an executor either way; two-phase bounds
+    the *shuffle* memory, same as the staged pipeline's plan.)"""
+    span_struct = F.struct("kind", "text", "media_ref", "offset")
+    if not two_phase:
+        return span_rows.groupBy("doc_id").agg(
+            F.collect_list(span_struct).alias("spans")
+        )
+    seg = span_rows.withColumn(
+        "_seg", F.floor(F.col("offset") / F.lit(segment_spans)).cast("int")
+    )
+    stage1 = seg.groupBy("doc_id", "_seg").agg(
+        F.collect_list(span_struct).alias("_seg_spans")
+    )
+    return stage1.groupBy("doc_id").agg(
+        F.flatten(F.collect_list("_seg_spans")).alias("spans")
     )
 
 
@@ -291,15 +310,17 @@ def fused_doc_stage(assembled: DataFrame) -> DataFrame:
 
 
 def run_pipeline_fused(span_rows: DataFrame,
-                       partitions: int | None = None) -> DataFrame:
+                       partitions: int | None = None,
+                       two_phase: bool = False) -> DataFrame:
     """Optimized end-to-end pipeline: ONE shuffle (raw-span
     reassembly), ONE Arrow crossing (fused classify/clean/meta).
     Bit-identical output to ``run_pipeline_rows(with_metadata=True)``
     (asserted in tests). Use the staged pipeline when intermediate
-    span rows are needed relationally; use this for throughput."""
+    span rows are needed relationally; use this for throughput.
+    ``two_phase`` enables the mega-doc segment pre-assembly."""
     if partitions:
         span_rows = span_rows.repartition(partitions, "doc_id")
-    return fused_doc_stage(reassemble_raw(span_rows))
+    return fused_doc_stage(reassemble_raw(span_rows, two_phase=two_phase))
 
 
 def with_markdown(pipeline_out: DataFrame) -> DataFrame:

@@ -186,3 +186,18 @@ def test_markdown_rendering(spark):
     # deterministic
     again = {r["doc_id"]: r["markdown"] for r in out.collect()}
     assert again == {r["doc_id"]: r["markdown"] for r in rows}
+
+
+def test_fused_two_phase_mega_doc(spark):
+    from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused
+
+    mega = generate_docs(n_docs=8, seed=41, scramble=True, mega_doc_spans=400)
+    df = docs_to_df(spark, mega)
+    single = {r["doc_id"]: r for r in run_pipeline_fused(explode_spans(df)).collect()}
+    two = {
+        r["doc_id"]: r
+        for r in run_pipeline_fused(explode_spans(df), two_phase=True).collect()
+    }
+    assert single.keys() == two.keys()
+    for k in single:
+        assert single[k].asDict(recursive=True) == two[k].asDict(recursive=True)
