@@ -19,14 +19,18 @@ built the Spark way:
 """
 
 from smartglass_ocr_spark.streaming.pipeline import (
+    running_user_totals,
     session_window_agg,
+    stream_dedup_exact,
     stream_documents,
     stream_extract,
     windowed_event_counts,
 )
 
 __all__ = [
+    "running_user_totals",
     "session_window_agg",
+    "stream_dedup_exact",
     "stream_documents",
     "stream_extract",
     "windowed_event_counts",

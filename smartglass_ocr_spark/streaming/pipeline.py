@@ -106,3 +106,57 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "session_value",
         )
     )
+
+
+def stream_dedup_exact(stream_docs: DataFrame) -> DataFrame:
+    """Stateful exact dedup on a document stream: the first document
+    with a given text fingerprint passes, later arrivals (same batch
+    or any later batch) are dropped. Built on Structured Streaming's
+    native dropDuplicates state store — state is one md5 per distinct
+    doc, checkpointed with the query. The batch twin is
+    ops.dedup.exact_duplicate_clusters.
+
+    Doc text = concat of its span texts in array order (documents
+    arrive whole, so no cross-batch reassembly state is needed)."""
+    doc_text = F.array_join(
+        F.filter(
+            F.transform("spans", lambda s: s["text"]),
+            lambda t: t.isNotNull(),
+        ),
+        "\n",
+    )
+    return stream_docs.withColumn("text_md5", F.md5(doc_text)).dropDuplicates(
+        ["text_md5"]
+    )
+
+
+RUNNING_TOTALS_STATE = "total double, n bigint"
+RUNNING_TOTALS_OUTPUT = "user_id bigint, total double, n bigint"
+
+
+def running_user_totals(stream_events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running value totals across micro-batches (the driver brief's
+    'custom stateful operators' surface). Each batch updates the
+    user's (total, n) state and emits the new running values; state
+    lives in the checkpointed state store, one tiny row per user."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdf_iter:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        yield pd.DataFrame({"user_id": [user_id], "total": [round(total, 2)], "n": [n]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -119,3 +119,80 @@ def test_session_window_properties(spark):
         rows.sort(key=lambda r: r["session_start"])
         for a, b in zip(rows, rows[1:]):
             assert a["session_end"] <= b["session_start"]  # disjoint
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """The same text arriving in a LATER batch must still be dropped
+    (cross-batch state store)."""
+    from smartglass_ocr_spark.streaming.pipeline import stream_dedup_exact
+
+    src = str(tmp_path / "dd")
+    a = [{"doc_id": f"a{i}", "spans": [{"kind": "para", "text": f"text {i % 3}", "media_ref": None, "offset": 0}]} for i in range(6)]
+    b = [{"doc_id": f"b{i}", "spans": [{"kind": "para", "text": f"text {i % 5}", "media_ref": None, "offset": 0}]} for i in range(10)]
+    docs_to_df(spark, a).write.mode("overwrite").parquet(src)
+
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    deduped = stream_dedup_exact(stream)
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    assert first.count() == 3  # texts 0,1,2
+
+    docs_to_df(spark, b).write.mode("append").parquet(src)
+    q = (
+        stream_dedup_exact(stream_documents(spark, src, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(out)
+    # batch b adds only texts 3 and 4 (0,1,2 already seen in batch a)
+    assert final.count() == 5
+    assert final.select("text_md5").distinct().count() == 5
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    from smartglass_ocr_spark.streaming.pipeline import running_user_totals
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "rt")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id bigint, user_id bigint, event_type string, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user == batch aggregate
+    got = {
+        r["user_id"]: (r["total"], r["n"])
+        for r in spark.table("running_totals").collect()
+    }
+    expect = {
+        r["user_id"]: (round(r["t"], 2), r["n"])
+        for r in events.groupBy("user_id")
+        .agg(F.sum("value").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
