@@ -131,6 +131,65 @@ def _q_q5_nation_revenue(spark, sf_dir):
     )
 
 
+def _q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: LEFT SEMI join — orders with at least one
+    high-discount lineitem, counted by priority (the synthetic
+    lineitem has no commit/receipt dates; the join/agg shape is
+    identical)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def _q_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+    distribution of customers by order count (including zero)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q_parts_never_bulk_ordered(spark, sf_dir):
+    """LEFT ANTI join (q16-ish negative membership, the J5
+    resume-anti-join pattern on data tables): parts with no
+    high-quantity lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation over (returnflag, linestatus) — subtotals +
+    grand total in one pass (SURVEY §2.4 noted Spark gives these
+    free; the corpus analogue is rollups over (lang, structure))."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n",
+        )
+    )
+
+
 def _q_o3_normalized_dedupe(spark, sf_dir):
     from smartglass_ocr_spark.ops.dedup import normalized_dedupe
 
@@ -324,6 +383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q_q1_pricing_summary,
         "q3_top_revenue_orders": _q_q3_top_revenue_orders,
         "q5_nation_revenue": _q_q5_nation_revenue,
+        "q4_order_priority": _q_q4_order_priority,
+        "q13_customer_distribution": _q_q13_customer_distribution,
+        "parts_never_bulk_ordered": _q_parts_never_bulk_ordered,
+        "rollup_revenue": _q_rollup_revenue,
         "o3_normalized_dedupe": _q_o3_normalized_dedupe,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
@@ -438,6 +501,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_discount > 0.05
+            )
+            GROUP BY o_orderpriority
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "parts_never_bulk_ordered": """
+            SELECT p_partkey, p_name
+            FROM part
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_partkey = p_partkey AND l_quantity >= 45
+            )
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "o3_normalized_dedupe": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
