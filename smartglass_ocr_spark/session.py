@@ -34,6 +34,10 @@ def get_spark(app: str = "smartglass-ocr-spark", cpus: int | None = None,
         # room to breathe benched +66% on the shuffle-heavy flagship
         # vs the default 8g heap (GC time was charged as task CPU)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
