@@ -354,4 +354,29 @@ def span_rows_from_flat(documents: DataFrame, spans_per_doc: int = 8,
         "chunk",
         F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("_i"),
     )
-    return idx.select("doc_id", *_span_fields(F.col("_i")))
+    i = F.col("_i")
+    # hoist kind into its own projection as an array-literal lookup:
+    # element_at(kinds, bucket+1) === the when-chain (default bucket 0
+    # -> _FLAT_KINDS[0]), evaluated ONCE per span instead of the CASE
+    # tree re-inlined into each of the three kind-dependent fields
+    bucket = F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(len(_FLAT_KINDS)))
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _FLAT_KINDS]), (bucket + 1).cast("int")
+    )
+    staged = idx.select("doc_id", "w", "chunk", "_i", kind.alias("_kind"))
+    offset = (i * 7 + F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(5))).cast("int")
+    is_media = F.col("_kind").isin("image", "video", "audio")
+    span_text = F.concat_ws(
+        " ", F.slice(F.col("w"), (i * F.col("chunk") + 1).cast("int"), F.col("chunk"))
+    )
+    media_ref = F.concat(
+        F.lit("m-"),
+        F.substring(F.sha1(F.concat_ws(":", F.col("doc_id"), offset.cast("string"))), 1, 12),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_kind").alias("kind"),
+        F.when(is_media, F.lit(None).cast("string")).otherwise(span_text).alias("text"),
+        F.when(is_media, media_ref).otherwise(F.lit(None).cast("string")).alias("media_ref"),
+        offset.alias("offset"),
+    )
