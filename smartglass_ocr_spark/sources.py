@@ -14,6 +14,9 @@ plan-shape test pins the no-Exchange property.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 from smartglass_ocr_spark.corpus import SPAN_STRUCT
@@ -87,6 +90,18 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 16,
     co-located buckets and skip the exchange entirely — at 100 TB
     this turns the nightly fact-to-fact join from a full shuffle
     into a scan."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # with a session-scoped in-memory catalog the DROP above cannot
+    # see tables written by earlier sessions, but their managed
+    # location under the warehouse survives and blocks saveAsTable —
+    # clear it (an HMS/Iceberg catalog tracks this itself)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    loc = os.path.join(warehouse, table.split(".")[-1].lower())
+    if warehouse and os.path.isdir(loc):
+        shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)
