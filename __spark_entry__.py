@@ -325,7 +325,14 @@ def _q_session_window(spark, sf_dir):
 def _q_entity_harvest(spark, sf_dir):
     from smartglass_ocr_spark.ops.textstats import entity_harvest
 
-    return entity_harvest(_t(spark, sf_dir, "documents"))
+    # array columns break the driver's pandas canonicalizer (lists are
+    # unhashable under sort_values) — join to '|'-delimited strings and
+    # mirror with array_to_string in the oracle.
+    return entity_harvest(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.array_join("names", "|").alias("names"),
+        F.array_join("dates", "|").alias("dates"),
+    )
 
 
 def _q_signage_content(spark, sf_dir):
@@ -694,10 +701,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_harvest": """
             SELECT doc_id,
-                   list_sort(list_distinct(
-                       regexp_extract_all(text, '[A-Z][a-z]+ [A-Z][a-z]+')))[1:3] AS names,
-                   list_sort(list_distinct(
-                       regexp_extract_all(text, '\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}')))[1:2] AS dates
+                   coalesce(array_to_string(list_sort(list_distinct(
+                       regexp_extract_all(text, '[A-Z][a-z]+ [A-Z][a-z]+')))[1:3], '|'), '') AS names,
+                   coalesce(array_to_string(list_sort(list_distinct(
+                       regexp_extract_all(text, '\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}')))[1:2], '|'), '') AS dates
             FROM documents
         """,
         "signage_content": """
