@@ -353,8 +353,39 @@ def _q_pipeline_fused(spark, sf_dir):
     out = run_pipeline_fused(span_rows_from_flat(docs))
     return out.select(
         "doc_id", F.size("spans").alias("n_spans"), "lang", "structure",
+        # F8 formatted output, fingerprinted (full text exercised by
+        # the golden-equality pytest; the driver checks determinism)
+        F.md5(F.coalesce("formatted_text", F.lit(""))).alias("formatted_md5"),
         F.round("confidence", 4).alias("confidence"), "status",
     )
+
+
+def _q_w3_paragraph_fold(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import paragraph_fold
+
+    return paragraph_fold(_t(spark, sf_dir, "documents"))
+
+
+def _q_w5_header_sections(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import header_sections
+
+    return header_sections(_t(spark, sf_dir, "documents"))
+
+
+def _q_w6_bullet_fold(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import bullet_fold
+
+    return bullet_fold(_t(spark, sf_dir, "documents"))
+
+
+def _q_response_clean(spark, sf_dir):
+    # F11 clean_response_text (ref lib/utils.py:404-432) as pure
+    # codegen expressions — the Python twin lives in rules/format.py
+    docs = _t(spark, sf_dir, "documents")
+    c = F.regexp_replace("text", r"\n+", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(F.regexp_replace(c, r"\\", ""))
+    return docs.select("doc_id", c.alias("response_text"))
 
 
 def _q_media_catalog(spark, sf_dir):
@@ -415,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_fused": _q_pipeline_fused,
         "media_catalog": _q_media_catalog,
         "frame_sample": _q_frame_sample,
+        "w3_paragraph_fold": _q_w3_paragraph_fold,
+        "w5_header_sections": _q_w5_header_sections,
+        "w6_bullet_fold": _q_w6_bullet_fold,
+        "response_clean": _q_response_clean,
     }
 
 
@@ -427,6 +462,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # media_catalog / frame_sample (metadata derived via Spark xxhash64,
 # no DuckDB twin; schema/determinism/fan-out verified in pytest).
 # --------------------------------------------------------------------
+
+# DuckDB twin of ops/windows.doc_lines: wrap every 6 words, 0-based
+# line number, md5-derived line class/decoration (identical values to
+# Spark's conv(substr(md5,1,8),16,10) % 7)
+_LINES_CTE = r"""
+    WITH wrapped AS (
+        SELECT doc_id,
+               regexp_replace(text, '((?:\S+\s+){5}\S+)\s+',
+                              '\1' || chr(10), 'g') AS t
+        FROM documents
+    ), split AS (
+        SELECT doc_id, string_split(t, chr(10)) AS parts FROM wrapped
+    ), lines0 AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(parts) - 1)) AS ln,
+               unnest(parts) AS raw
+        FROM split
+    ), classed AS (
+        SELECT doc_id, ln, kind,
+               CASE kind WHEN 'bullet' THEN '- ' || raw
+                         WHEN 'heading' THEN upper(raw)
+                         WHEN 'empty' THEN ''
+                         ELSE raw END AS line
+        FROM (
+            SELECT *, CASE ('0x' || substr(md5(doc_id || ':' || ln), 1, 8))::BIGINT % 7
+                        WHEN 0 THEN 'bullet' WHEN 1 THEN 'heading'
+                        WHEN 2 THEN 'empty' ELSE 'regular' END AS kind
+            FROM lines0
+        )
+    )
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -754,5 +821,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
                    cos
             FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        # W3/W5/W6 share the deterministic line derivation of
+        # ops/windows.doc_lines (wrap every 6 words, md5-class each
+        # line) — mirrored verbatim here; md5 and the regex semantics
+        # are identical across engines.
+        "w3_paragraph_fold": _LINES_CTE + """
+            , flagged AS (
+                SELECT *, CASE WHEN lag(kind) OVER w IS NULL
+                                 OR kind <> 'regular'
+                                 OR lag(kind) OVER w <> 'regular'
+                                 OR (regexp_matches(lag(line) OVER w, '[.!?]$')
+                                     AND regexp_matches(line, '^[A-Z0-9]'))
+                          THEN 1 ELSE 0 END AS new_para
+                FROM classed
+                WINDOW w AS (PARTITION BY doc_id ORDER BY ln)
+            ), para AS (
+                SELECT *, CAST(sum(new_para) OVER (PARTITION BY doc_id ORDER BY ln
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS para_id
+                FROM flagged
+            )
+            SELECT doc_id, para_id,
+                   string_agg(line, ' ' ORDER BY ln) AS para_text,
+                   count(*) AS n_lines
+            FROM para WHERE kind <> 'empty'
+            GROUP BY doc_id, para_id
+        """,
+        "w5_header_sections": _LINES_CTE + """
+            , flagged AS (
+                SELECT *, CASE WHEN kind = 'heading'
+                                 OR (kind <> 'empty' AND lead(kind) OVER w = 'empty')
+                          THEN 1 ELSE 0 END AS is_header
+                FROM classed
+                WINDOW w AS (PARTITION BY doc_id ORDER BY ln)
+            ), sec AS (
+                SELECT *, CAST(sum(is_header) OVER (PARTITION BY doc_id ORDER BY ln
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS section_id
+                FROM flagged
+            )
+            SELECT doc_id, section_id,
+                   coalesce(min(line) FILTER (WHERE is_header = 1), '') AS header,
+                   coalesce(string_agg(line, ' ' ORDER BY ln)
+                            FILTER (WHERE is_header = 0 AND kind <> 'empty'), '') AS content,
+                   count(*) AS n_lines
+            FROM sec GROUP BY doc_id, section_id
+        """,
+        "w6_bullet_fold": _LINES_CTE + """
+            , grouped AS (
+                SELECT *, CAST(sum(CASE WHEN kind IN ('bullet','empty') THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY ln
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+                FROM classed
+            )
+            SELECT doc_id, grp AS item_id,
+                   '• ' || string_agg(CASE WHEN kind = 'bullet' THEN substr(line, 3)
+                                           ELSE line END, ' ' ORDER BY ln) AS item_text,
+                   count(*) - 1 AS n_continuations
+            FROM grouped
+            GROUP BY doc_id, grp
+            HAVING arg_min(kind, ln) = 'bullet'
+        """,
+        "response_clean": r"""
+            SELECT doc_id,
+                   trim(replace(regexp_replace(regexp_replace(text, '\n+', ' ', 'g'),
+                                               '\s+', ' ', 'g'), '\', '')) AS response_text
+            FROM documents
         """,
     }

@@ -16,6 +16,7 @@ from smartglass_ocr_spark.rules.classify import MEDIA_KINDS, classify_block, str
 from smartglass_ocr_spark.rules.cleanup import clean_for_class
 from smartglass_ocr_spark.rules.confidence import status_for, weighted_confidence
 from smartglass_ocr_spark.rules.extract import confidence_level, extract_structured
+from smartglass_ocr_spark.rules.format import format_text
 from smartglass_ocr_spark.rules.langdetect import detect_language
 from smartglass_ocr_spark.rules.structure import detect_structure
 from smartglass_ocr_spark.rules.summarize import extract_key_insights, generate_summary
@@ -62,10 +63,18 @@ def process_document(doc: dict) -> dict:
         )
 
     # document text = non-empty cleaned text spans joined in order
-    # (the analogue of the reference's single formatted_text string)
+    # (the analogue of the text the reference hands to format_text)
     doc_text = "\n\n".join(
         s["text"] for s in out_spans if s["text"]
     )
+
+    # F8 reconstruction stage (ref lib/smartglass_ocr.py:602-604):
+    # structure is detected on the INPUT text for dispatch
+    # (ref lib/text_processing.py:1182-1185), and every downstream
+    # consumer — language (:608), structured extraction (:612-614),
+    # status length check (:622), summary/insights/reported structure
+    # (:1212-1228) — consumes the FORMATTED text.
+    formatted_text = format_text(doc_text)
 
     # dominant special class drives extraction (ref dispatcher
     # lib/information_extraction.py:28-53 keyed by ImageType; our doc
@@ -77,22 +86,32 @@ def process_document(doc: dict) -> dict:
     )
     extract_class = dominant if class_hist.get(dominant, 0) > 0 else "content"
 
+    # confidence is the extraction-time score (the reference's is
+    # engine-derived, computed before formatting) — fed the pre-format
+    # text; the status gate uses the formatted length (ref :622)
     confidence = weighted_confidence(doc_text)
-    status = status_for(confidence, doc_text)
+    status = status_for(confidence, formatted_text)
     summary = ""
-    if status in ("success", "partial_success") and doc_text:
-        # summary gating: ref lib/smartglass_ocr.py:1212-1230
-        summary = generate_summary(doc_text)
+    key_insights: list[str] = []
+    if status in ("success", "partial_success") and formatted_text:
+        # summary + insights gating: ref lib/smartglass_ocr.py:1212-1228;
+        # insights additionally require len(text) > 200 (:1226)
+        summary = generate_summary(formatted_text)
+        if len(formatted_text) > 200:
+            key_insights = extract_key_insights(formatted_text)
 
     return {
         "doc_id": doc["doc_id"],
         "spans": out_spans,
-        "lang": detect_language(doc_text),
-        "structure": detect_structure(doc_text),
+        "formatted_text": formatted_text,
+        "lang": detect_language(formatted_text),
+        # reported structure is re-detected on the formatted text
+        # (ref lib/smartglass_ocr.py:1222)
+        "structure": detect_structure(formatted_text),
         "block_class_hist": class_hist,
-        "structured_info": extract_structured(extract_class, doc_text),
+        "structured_info": extract_structured(extract_class, formatted_text),
         "summary": summary,
-        "key_insights": extract_key_insights(doc_text) if doc_text else [],
+        "key_insights": key_insights,
         "confidence": confidence,
         "confidence_level": confidence_level(confidence),
         "status": status,

@@ -106,6 +106,184 @@ def ordered_group_concat(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def doc_lines(documents: DataFrame, words_per_line: int = 6) -> DataFrame:
+    """Deterministic line corpus for the W3/W5/W6 line-machine twins:
+    the flat ``documents.text`` has no newlines, so lines are derived
+    in-query — wrap every ``words_per_line`` words, then md5-class each
+    line into bullet / heading / empty / regular (mirrored verbatim in
+    the DuckDB oracles; md5 is identical in both engines).
+
+    Output: (doc_id, ln, kind, line) — one narrow Generate stage, no
+    shuffle; at 100 TB this is a per-row projection that splits inside
+    the scan task."""
+    wrapped = F.regexp_replace(
+        "text", r"((?:\S+\s+){%d}\S+)\s+" % (words_per_line - 1), "$1\n"
+    )
+    lines = documents.select(
+        "doc_id", F.posexplode(F.split(wrapped, "\n")).alias("ln", "raw")
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.col("ln").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 7
+    )
+    kind = (
+        F.when(h == 0, F.lit("bullet"))
+        .when(h == 1, F.lit("heading"))
+        .when(h == 2, F.lit("empty"))
+        .otherwise(F.lit("regular"))
+    )
+    line = (
+        F.when(F.col("kind") == "bullet", F.concat(F.lit("- "), F.col("raw")))
+        .when(F.col("kind") == "heading", F.upper("raw"))
+        .when(F.col("kind") == "empty", F.lit(""))
+        .otherwise(F.col("raw"))
+    )
+    return lines.withColumn("kind", kind).select(
+        "doc_id", "ln", "kind", line.alias("line")
+    )
+
+
+def paragraph_fold(documents: DataFrame) -> DataFrame:
+    """W3 twin — the ``organize_document_text`` paragraph machine
+    (ref lib/text_processing.py:744-805) as a distributed lag+cumsum
+    fold: a new paragraph starts at doc start, at/after any non-regular
+    line (bullet/heading/empty — the machine flushes around them), or
+    when the previous regular line ended a sentence and the current
+    starts upper/digit (ref :790-796). The byte-exact per-doc machine
+    lives in rules/format.py; this verifies the window formulation the
+    distributed fold relies on. One shuffle on doc_id, reused by the
+    window and the final groupBy."""
+    w = Window.partitionBy("doc_id").orderBy("ln")
+    lines = doc_lines(documents)
+    prev_kind = F.lag("kind").over(w)
+    prev_line = F.lag("line").over(w)
+    sentence_break = (
+        (F.col("kind") == "regular")
+        & (prev_kind == "regular")
+        & prev_line.rlike(r"[.!?]$")
+        & F.col("line").rlike(r"^[A-Z0-9]")
+    )
+    new_para = (
+        prev_kind.isNull()
+        | (F.col("kind") != "regular")
+        | (prev_kind != "regular")
+        | sentence_break
+    ).cast("int")
+    with_para = lines.withColumn(
+        "para_id",
+        F.sum(new_para).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_para.filter(F.col("kind") != "empty")
+        .groupBy("doc_id", "para_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ln", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("para_text"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def header_sections(documents: DataFrame) -> DataFrame:
+    """W5 twin — ``_format_headers_and_content``
+    (ref lib/text_processing.py:1318-1385) as a window op: a line is a
+    header when it is a heading line or a non-empty line followed by an
+    empty one (ref :1346-1348); section id = running count of headers;
+    per section emit the header and the space-joined body. Same single
+    doc_id shuffle shape as the paragraph fold."""
+    w = Window.partitionBy("doc_id").orderBy("ln")
+    lines = doc_lines(documents)
+    # coalesce: lead() is NULL on each doc's last line, and a NULL flag
+    # would silently drop that line from the content aggregate
+    next_kind = F.coalesce(F.lead("kind").over(w), F.lit("regular"))
+    is_header = (
+        (F.col("kind") == "heading")
+        | ((F.col("kind") != "empty") & (next_kind == "empty"))
+    ).cast("int")
+    with_sec = lines.withColumn("is_header", is_header).withColumn(
+        "section_id",
+        F.sum("is_header").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sec.groupBy("doc_id", "section_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("is_header") == 1, F.col("line"))), F.lit("")
+        ).alias("header"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col("is_header") == 0) & (F.col("kind") != "empty"),
+                            F.struct("ln", "line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("content"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def bullet_fold(documents: DataFrame) -> DataFrame:
+    """W6 twin — ``_format_bullet_points`` continuation attach
+    (ref lib/text_processing.py:1387-1434): non-bullet non-empty lines
+    following a bullet item fold into it until the next bullet/empty
+    line. Groups open at bullet and empty lines (cumsum); groups whose
+    first line is a bullet are items; the marker is normalized to
+    ``•`` (ref :1418)."""
+    w = Window.partitionBy("doc_id").orderBy("ln")
+    lines = doc_lines(documents)
+    opens = (F.col("kind").isin("bullet", "empty")).cast("int")
+    grouped = lines.withColumn(
+        "grp", F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    items = grouped.groupBy("doc_id", "grp").agg(
+        F.min_by("kind", "ln").alias("first_kind"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ln",
+                            # strip the '- ' marker off the bullet line
+                            F.when(
+                                F.col("kind") == "bullet",
+                                F.substring("line", 3, 1 << 30),
+                            )
+                            .otherwise(F.col("line"))
+                            .alias("line"),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("body"),
+        (F.count(F.lit(1)) - 1).alias("n_continuations"),
+    )
+    return items.filter(F.col("first_kind") == "bullet").select(
+        "doc_id",
+        F.col("grp").alias("item_id"),
+        F.concat(F.lit("• "), F.col("body")).alias("item_text"),
+        "n_continuations",
+    )
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling-window counts per event_type (batch form of the
     streaming rollup; window start emitted as epoch seconds so the

@@ -59,6 +59,7 @@ def _classify_clean_udf(kind: pd.Series, text: pd.Series) -> pd.DataFrame:
 
 _META_SCHEMA = StructType(
     [
+        StructField("formatted_text", StringType()),
         StructField("lang", StringType()),
         StructField("structure", StringType()),
         StructField("structured_info", MapType(StringType(), StringType())),
@@ -73,8 +74,12 @@ _META_SCHEMA = StructType(
 
 @F.pandas_udf(_META_SCHEMA)
 def _doc_meta_udf(doc_text: pd.Series, class_hist: pd.Series) -> pd.DataFrame:
+    # mirrors golden.process_document's doc-metadata block exactly
+    # (the fused pipeline runs the golden spec itself; this staged twin
+    # must stay in lockstep — tests assert bit-equality of the two)
     from smartglass_ocr_spark.rules.confidence import status_for, weighted_confidence
     from smartglass_ocr_spark.rules.extract import confidence_level, extract_structured
+    from smartglass_ocr_spark.rules.format import format_text
     from smartglass_ocr_spark.rules.langdetect import detect_language
     from smartglass_ocr_spark.rules.structure import detect_structure
     from smartglass_ocr_spark.rules.summarize import extract_key_insights, generate_summary
@@ -84,22 +89,25 @@ def _doc_meta_udf(doc_text: pd.Series, class_hist: pd.Series) -> pd.DataFrame:
     for text, hist in zip(doc_text, class_hist):
         text = text or ""
         hist = hist or {}
+        formatted = format_text(text)
         dominant = max(special, key=lambda c: (hist.get(c, 0), -special.index(c)))
         extract_class = dominant if hist.get(dominant, 0) else "content"
         confidence = weighted_confidence(text)
-        status = status_for(confidence, text)
-        summary = (
-            generate_summary(text)
-            if status in ("success", "partial_success") and text
-            else ""
-        )
+        status = status_for(confidence, formatted)
+        summary = ""
+        insights: list[str] = []
+        if status in ("success", "partial_success") and formatted:
+            summary = generate_summary(formatted)
+            if len(formatted) > 200:
+                insights = extract_key_insights(formatted)
         rows.append(
             {
-                "lang": detect_language(text),
-                "structure": detect_structure(text),
-                "structured_info": extract_structured(extract_class, text),
+                "formatted_text": formatted,
+                "lang": detect_language(formatted),
+                "structure": detect_structure(formatted),
+                "structured_info": extract_structured(extract_class, formatted),
                 "summary": summary,
-                "key_insights": extract_key_insights(text) if text else [],
+                "key_insights": insights,
                 "confidence": confidence,
                 "confidence_level": confidence_level(confidence),
                 "status": status,
@@ -213,6 +221,7 @@ def with_doc_metadata(reassembled: DataFrame) -> DataFrame:
         "doc_id",
         "spans",
         "block_class_hist",
+        F.col("_m.formatted_text").alias("formatted_text"),
         F.col("_m.lang").alias("lang"),
         F.col("_m.structure").alias("structure"),
         F.col("_m.structured_info").alias("structured_info"),
@@ -238,6 +247,7 @@ _DOC_OUT_SCHEMA = StructType(
         StructField("doc_id", StringType()),
         StructField("spans", ArrayType(_SPAN_STRUCT_TYPE)),
         StructField("block_class_hist", MapType(StringType(), IntegerType())),
+        StructField("formatted_text", StringType()),
         StructField("lang", StringType()),
         StructField("structure", StringType()),
         StructField("structured_info", MapType(StringType(), StringType())),

@@ -91,9 +91,10 @@ def test_checkpoint_and_metrics_schema(spark, paths):
     assert ckpt.filter("status = 'complete'").count() == ckpt.count()
     assert ckpt.agg({"n_docs": "sum"}).first()[0] == 10
     metrics = spark.read.parquet(paths["metrics"])
-    assert {"run_id", "partition_id", "docs_per_sec", "spans_per_sec", "stage", "wall_ms"} == set(
-        metrics.columns
-    )
+    assert {
+        "run_id", "run_seq", "partition_id", "docs_per_sec", "spans_per_sec",
+        "stage", "wall_ms",
+    } == set(metrics.columns)
     assert metrics.filter("docs_per_sec <= 0").count() == 0
 
 
@@ -102,7 +103,7 @@ def test_ewma_metrics(spark, paths):
     from smartglass_ocr_spark.corpus import docs_to_df, generate_docs
 
     docs = docs_to_df(spark, generate_docs(n_docs=30, seed=3))
-    out, ckpt, metrics = paths
+    out, ckpt, metrics = paths["out"], paths["ckpt"], paths["metrics"]
     # two runs: second resumes (no-op) so metrics has one run; force a
     # second metrics run with a fresh checkpoint dir
     run_extraction_job(spark, docs, out, ckpt, metrics, run_id="r1", n_partitions=4)
@@ -110,11 +111,15 @@ def test_ewma_metrics(spark, paths):
     got = {r["partition_id"]: r for r in ewma_metrics(spark, metrics).collect()}
     raw = spark.read.parquet(metrics).collect()
     by_pid = {}
-    for r in sorted(raw, key=lambda r: r["run_id"]):
+    # the fold order contract is the monotonic run_seq, not run_id
+    for r in sorted(raw, key=lambda r: r["run_seq"]):
         by_pid.setdefault(r["partition_id"], []).append(r["docs_per_sec"])
+    assert {r["run_seq"] for r in raw} == {1, 2}
     for pid, vals in by_pid.items():
         e = vals[0]
         for v in vals[1:]:
             e = 0.7 * e + 0.3 * v
         assert got[pid]["n_runs"] == len(vals)
-        assert abs(got[pid]["ewma_docs_per_sec"] - round(e, 3)) < 1e-6
+        # got is rounded to 3dp (Spark HALF_UP); compare against the
+        # unrounded fold with a half-ulp tolerance
+        assert abs(got[pid]["ewma_docs_per_sec"] - e) <= 6e-4

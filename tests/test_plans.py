@@ -65,6 +65,17 @@ def test_simhash_no_higher_order_functions(spark, queries):
     assert "partial_sum" in plan
 
 
+def test_line_machine_twins_single_exchange(spark, queries):
+    """W3/W5/W6 line machines: the window and the final groupBy share
+    ONE doc_id hash exchange (EnsureRequirements reuses the window's
+    partitioning); the line derivation itself is a narrow Generate
+    inside the scan stage."""
+    for name in ("w3_paragraph_fold", "w5_header_sections", "w6_bullet_fold"):
+        plan = _plan(queries[name](spark, SF))
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, name
+        assert "Generate explode" in plan or "Generate posexplode" in plan, name
+
+
 def test_broadcast_joins_in_q5(spark, queries):
     """The dim chain must broadcast, never shuffle-join."""
     plan = _plan(queries["q5_nation_revenue"](spark, SF))
