@@ -454,13 +454,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --------------------------------------------------------------------
-# oracles (DuckDB). Omitted for: knn_lsh / embedding_near_dup (LSH
-# planes built from Spark's conv(); verified in pytest against the
-# brute-force twin instead); pipeline_* / pipeline_fused (regex
-# pipeline not SQL-expressible; verified by golden-equality pytest,
-# fused additionally asserted bit-identical to the staged path);
-# media_catalog / frame_sample (metadata derived via Spark xxhash64,
-# no DuckDB twin; schema/determinism/fan-out verified in pytest).
+# oracles (DuckDB). Omitted for: knn_ivf (the k-means refinement
+# averages doubles — fp summation order differs between engines, so
+# centroid bit-equality is not a sound oracle; recall vs the oracled
+# brute-force twin is pinned in pytest); pipeline_* / pipeline_fused
+# (regex pipeline not SQL-expressible; verified by golden-equality
+# pytest, fused additionally asserted bit-identical to the staged
+# path); media_catalog / frame_sample (media-row membership comes from
+# the xxhash64 span interleaving of corpus.span_rows_from_flat —
+# xxhash64 has no DuckDB twin, and switching the flagship's span
+# derivation to md5 would tax the headline path to buy an oracle;
+# schema/determinism/fan-out verified in pytest).
 # --------------------------------------------------------------------
 
 # DuckDB twin of ops/windows.doc_lines: wrap every 6 words, 0-based
@@ -491,6 +495,28 @@ _LINES_CTE = r"""
                         WHEN 2 THEN 'empty' ELSE 'regular' END AS kind
             FROM lines0
         )
+    )
+"""
+
+
+# DuckDB twin of ops/similarity.plane_matrix + _bucket_udf (bits=4,
+# the setting both LSH queries use): hyperplane components from
+# md5('lane:dim'), sign-of-dot bucket per vector
+_BUCKETS_CTE = """
+    WITH dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
+    comps AS (
+        SELECT lane, d,
+               ('0x' || substr(md5(lane || ':' || d), 1, 8))::BIGINT
+                   / 2147483648.0 - 1.0 AS comp
+        FROM (SELECT unnest(generate_series(0, 3)) AS lane),
+             (SELECT unnest(generate_series(0, (SELECT nd - 1 FROM dims))) AS d)
+    ),
+    planes AS (SELECT lane, list(comp ORDER BY d) AS p FROM comps GROUP BY lane),
+    bucketed AS (
+        SELECT vec_id, embedding,
+               CAST(sum(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p) > 0
+                             THEN (1::BIGINT << lane) ELSE 0 END) AS INT) AS bucket
+        FROM embeddings, planes GROUP BY vec_id, embedding
     )
 """
 
@@ -886,5 +912,27 @@ def oracle_sql() -> dict[str, str]:
                    trim(replace(regexp_replace(regexp_replace(text, '\n+', ' ', 'g'),
                                                '\s+', ' ', 'g'), '\', '')) AS response_text
             FROM documents
+        """,
+        # LSH planes are md5((lane,dim))-derived (ops/similarity.py
+        # plane_matrix), so the bucket + probe are DuckDB-expressible
+        "knn_lsh": _BUCKETS_CTE + """
+            , q AS (SELECT embedding AS qv, bucket AS qbucket
+                    FROM bucketed WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                CAST(qv AS DOUBLE[])), 6) AS cos
+            FROM bucketed b, q
+            WHERE b.bucket = q.qbucket
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dup": _BUCKETS_CTE + """
+            , pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+                FROM bucketed a JOIN bucketed b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3
         """,
     }

@@ -1,40 +1,130 @@
 """Similarity search over an embedding column (array<float>).
 
 - :func:`cosine_topk` — brute-force top-k vs one query vector: the
-  correctness baseline. The query vector broadcasts (a literal array);
-  the scan is a single narrow stage + one global top-k (AQE-coalesced
-  sort on k rows per partition via row_number window over a single
-  ordered partition is avoided — we use orderBy + limit, which Spark
-  executes as per-partition TopK + driver merge: no full sort).
+  correctness baseline. The query vector is a closure constant; the
+  scan is a single narrow stage + one global top-k (orderBy + limit =
+  per-partition TopK + driver merge, no full sort).
 - :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
-  buckets (deterministic planes derived from md5 of the lane index —
-  no RNG), candidate bucket probe, exact re-rank inside the bucket.
-  At 10^12 rows the probe touches ~N/2^bits of the data.
+  buckets (deterministic planes derived from md5 of (lane, dim) — no
+  RNG), candidate bucket probe, exact re-rank inside the bucket. At
+  10^12 rows the probe touches ~N/2^bits of the data (and with the
+  bucket materialized as a partition column, none of the rest).
+- :func:`ivf_topk` — IVF coarse quantizer + nprobe bucket scan.
 - :func:`cosine_self_near_dup` — embedding near-duplicate pairs by
   cosine >= threshold within LSH buckets.
+
+Kernel strategy (r1 VERDICT fix): all inner products run as
+**vectorized numpy over Arrow batches** (``pandas_udf``), NOT as
+``aggregate``/``zip_with`` higher-order functions — HOF lambdas are
+interpreted per element outside whole-stage codegen (measured ~100x
+penalty class in this repo, see BASELINE.md); a batch ``M @ q`` is one
+BLAS call. The LSH planes are likewise materialized ONCE per (bits,
+dim) as a numpy matrix instead of being re-derived per row via
+``transform(sequence)``. Plan shape is pinned in tests (no
+``lambdafunction`` nodes in any knn plan).
+
+The pandas scoring stages sit immediately before orderBy/limit or a
+join that introduces its own exchange, so ArrowEvalPython's loss of
+outputPartitioning (the r1 trap) costs nothing here.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, IntegerType
 from pyspark.sql.window import Window
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+# ------------------------------------------------------------ kernels --
+
+def _to_matrix(s: pd.Series) -> np.ndarray:
+    if len(s) == 0:
+        return np.zeros((0, 1))
+    return np.stack([np.asarray(x, dtype=np.float64) for x in s.values])
+
+
+def _row_norms(m: np.ndarray) -> np.ndarray:
+    n = np.sqrt(np.einsum("ij,ij->i", m, m))
+    n[n == 0.0] = 1.0
+    return n
+
+
+def _cosine_vs_query(query: list[float]):
+    """pandas UDF: cosine of each row vs the (closure) query vector —
+    one matrix-vector product per Arrow batch."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(qv)) or 1.0
+
+    @F.pandas_udf(DoubleType())
+    def cos(v: pd.Series) -> pd.Series:
+        m = _to_matrix(v)
+        if m.shape[0] == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series((m @ qv) / (_row_norms(m) * qn))
+
+    return cos
+
+
+@F.pandas_udf(DoubleType())
+def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+    ma, mb = _to_matrix(a), _to_matrix(b)
+    if ma.shape[0] == 0:
+        return pd.Series([], dtype="float64")
+    dots = np.einsum("ij,ij->i", ma, mb)
+    return pd.Series(dots / (_row_norms(ma) * _row_norms(mb)))
+
+
+def _plane_component(lane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): derived
+    from md5('lane:dim'), bit-identical to the r1 Spark expression
+    conv(substr(md5(concat(lane,':',dim)),1,8),16,10)/2^31 - 1."""
+    h = int(hashlib.md5(f"{lane}:{dim}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
+
+
+def plane_matrix(bits: int, dim: int) -> np.ndarray:
+    """(bits, dim) hyperplane matrix — computed once per (bits, dim),
+    not per row (r1 re-derived every component per row via
+    transform(sequence): O(rows * bits * dim) interpreted lambdas)."""
+    return np.array(
+        [[_plane_component(lane, d) for d in range(dim)] for lane in range(bits)]
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+def lsh_bucket_py(vec: list[float], bits: int) -> int:
+    """Driver-side bucket of one vector (query-side of a probe)."""
+    v = np.asarray(vec, dtype=np.float64)
+    signs = plane_matrix(bits, v.shape[0]) @ v > 0
+    return int(np.sum(signs * (1 << np.arange(bits))))
 
 
-def cosine_of(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _bucket_udf(bits: int):
+    """pandas UDF: LSH bucket per row. The plane matrix is built once
+    per (bits, dim) inside the worker and cached across batches."""
+    cache: dict[int, np.ndarray] = {}
 
+    @F.pandas_udf(IntegerType())
+    def bucket(v: pd.Series) -> pd.Series:
+        m = _to_matrix(v)
+        if m.shape[0] == 0:
+            return pd.Series([], dtype="int32")
+        dim = m.shape[1]
+        planes = cache.get(dim)
+        if planes is None:
+            planes = cache.setdefault(dim, plane_matrix(bits, dim))
+        signs = (m @ planes.T) > 0  # (batch, bits)
+        out = signs @ (1 << np.arange(bits))
+        return pd.Series(out.astype("int32"))
+
+    return bucket
+
+
+# ------------------------------------------------------------ queries --
 
 def cosine_topk(
     embeddings: DataFrame,
@@ -43,47 +133,23 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k by cosine vs a literal query vector; deterministic
-    tie-break on id. Returns (vec_id, rank, cos)."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    """Exact top-k by cosine vs a query vector; deterministic tie-break
+    on id. Returns (vec_id, rank, cos)."""
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine_of(F.col(vec_col).cast("array<double>"), q), 6).alias("cos"),
+        F.round(_cosine_vs_query(query)(F.col(vec_col)), 6).alias("cos"),
     )
     # limit-k first (per-partition TakeOrdered + merge, no full sort),
-    # then rank the k survivors — the window runs on k rows only.
-    ranked = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+    # then rank the k survivors — partitionBy(lit) gives the window an
+    # explicit (single) partition so WindowExec doesn't warn about an
+    # implicit global move; it runs on k rows either way.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
     )
     return ranked.select("vec_id", "rank", "cos")
-
-
-def _lsh_plane_component(lane: Column, dim: Column) -> Column:
-    """Deterministic pseudo-random plane component in [-1, 1): derived
-    from md5(lane:dim) so Spark and any oracle agree bit-for-bit."""
-    h = F.conv(F.substring(F.md5(F.concat_ws(":", lane, dim)), 1, 8), 16, 10).cast("double")
-    return h / F.lit(2147483648.0) - F.lit(1.0)
-
-
-def lsh_bucket_of(vec: Column, bits: int = 8) -> Column:
-    """Sign-of-dot-product bucket id (0 .. 2^bits-1), built from
-    deterministic hyperplanes; pure expression, codegen-friendly."""
-    acc = F.lit(0).cast("int")
-    for lane in range(bits):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda d: _lsh_plane_component(F.lit(str(lane)), d.cast("string")),
-                ),
-                lambda x, p: x * p,
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        acc = acc + F.when(dot > 0, F.lit(1 << lane)).otherwise(F.lit(0))
-    return acc
 
 
 def lsh_bucketed_topk(
@@ -97,21 +163,37 @@ def lsh_bucketed_topk(
     """Approximate top-k: probe only the query's LSH bucket, exact
     cosine re-rank inside it. Recall measured in tests vs
     :func:`cosine_topk`; at scale, bucket the table ONCE (write
-    bucket as a partition column) and this becomes partition pruning."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    bucket as a partition column) and this becomes partition pruning.
+    The query's bucket is computed driver-side (same md5 planes)."""
+    qbucket = lsh_bucket_py(query, bits)
     with_bucket = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket_of(F.col(vec_col).cast("array<double>"), bits).alias("bucket"),
+        F.col(vec_col).alias("v"),
+        _bucket_udf(bits)(F.col(vec_col)).alias("bucket"),
     )
-    qdf = embeddings.sparkSession.range(1).select(
-        lsh_bucket_of(q, bits).alias("qbucket")
-    )
-    probe = with_bucket.join(F.broadcast(qdf), F.col("bucket") == F.col("qbucket"))
-    scored = probe.select(
-        "vec_id", F.round(cosine_of(F.col("v"), q), 6).alias("cos")
+    scored = with_bucket.filter(F.col("bucket") == qbucket).select(
+        "vec_id", F.round(_cosine_vs_query(query)(F.col("v")), 6).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def _assign_udf(centroids: list[list[float]]):
+    """pandas UDF: nearest-centroid id per row (cosine argmax, ties to
+    the lowest cid — np.argmax keeps the first maximum)."""
+    c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+    cn[cn == 0.0] = 1.0
+    cu = c / cn[:, None]
+
+    @F.pandas_udf(IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        m = _to_matrix(v)
+        if m.shape[0] == 0:
+            return pd.Series([], dtype="int32")
+        sims = (m / _row_norms(m)[:, None]) @ cu.T  # (batch, k)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    return assign
 
 
 def ivf_build_centroids(
@@ -123,9 +205,10 @@ def ivf_build_centroids(
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: k seed vectors chosen by
     hash (pmod(xxhash64(id), ...) — stable under row order), refined
-    with ``iters`` Lloyd steps. Each step is one broadcast-join assign
-    + one groupBy mean — O(n·k) work, no driver-side loops over data;
-    only the k centroids (tiny) ever reach the driver."""
+    with ``iters`` Lloyd steps. Each step is one narrow argmax-assign
+    pass (broadcast centroid matrix in the UDF closure — no join row
+    blowup) + one posexplode/mean agg; only the k centroids (tiny)
+    ever reach the driver."""
     n = embeddings.count()
     stride = max(1, n // k)
     seeds = (
@@ -136,25 +219,8 @@ def ivf_build_centroids(
         .collect()
     )
     centroids = [list(r["c"]) for r in seeds]
-    spark = embeddings.sparkSession
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
-        )
-        v = embeddings.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        assigned = (
-            v.join(F.broadcast(cent_df))
-            .withColumn("cos", cosine_of(F.col("v"), F.col("c")))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vid").orderBy(F.desc("cos"), F.asc("cid"))
-                ),
-            )
-            .filter(F.col("rn") == 1)
-        )
+        assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col)
         means = (
             assigned.select("cid", F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
@@ -175,27 +241,16 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(vec_id, v, cid): nearest-centroid bucket per vector. At scale
-    this is written ONCE with cid as a partition column; probes then
-    prune partitions instead of scanning."""
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
-    )
-    v = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    return (
-        v.join(F.broadcast(cent_df))
-        .withColumn("cos", cosine_of(F.col("v"), F.col("c")))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+    """(vec_id, v, cid): nearest-centroid bucket per vector — ONE
+    narrow pass (the r1 shape joined every vector against all k
+    centroids and window-ranked the n*k rows; the argmax now happens
+    inside the Arrow batch). At scale this is written ONCE with cid as
+    a partition column; probes then prune partitions instead of
+    scanning."""
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _assign_udf(centroids)(F.col(vec_col)).alias("cid"),
     )
 
 
@@ -215,8 +270,6 @@ def ivf_topk(
     prebuilt ``centroids``/``assigned`` to amortize the index across
     queries (the production shape); built ad hoc otherwise. Recall vs
     brute force is pinned in tests."""
-    import math
-
     if centroids is None:
         centroids = ivf_build_centroids(
             embeddings, k=n_centroids, vec_col=vec_col, id_col=id_col
@@ -236,9 +289,8 @@ def ivf_topk(
             key=lambda t: (-t[1], t[0]),
         )[:nprobe]
     ]
-    q = F.array(*[F.lit(float(x)) for x in query])
     scored = assigned.filter(F.col("cid").isin(probe_cids)).select(
-        "vec_id", F.round(cosine_of(F.col("v"), q), 6).alias("cos")
+        "vec_id", F.round(_cosine_vs_query(query)(F.col("v")), 6).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
@@ -252,11 +304,12 @@ def cosine_self_near_dup(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH bucket self-join + exact
     cosine filter. The bucket key bounds the quadratic blowup to
-    within-bucket pairs."""
+    within-bucket pairs; the pair re-rank is one einsum per Arrow
+    batch."""
     v = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        lsh_bucket_of(F.col(vec_col).cast("array<double>"), bits).alias("bucket"),
+        F.col(vec_col).alias("v"),
+        _bucket_udf(bits)(F.col(vec_col)).alias("bucket"),
     )
     a, b = v.alias("a"), v.alias("b")
     return (
@@ -265,7 +318,7 @@ def cosine_self_near_dup(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(cosine_of(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(_pair_cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -76,6 +76,19 @@ def test_line_machine_twins_single_exchange(spark, queries):
         assert "Generate explode" in plan or "Generate posexplode" in plan, name
 
 
+def test_knn_plans_no_interpreted_lambdas(spark, queries):
+    """The similarity kernels must stay numpy/Arrow (ArrowEvalPython),
+    never interpreted higher-order functions — the r1 HOF cosine was
+    the top perf-weak finding (per-element lambda interpretation,
+    measured 1.9x slower than the BLAS batch at 2M rows and widening
+    with scale)."""
+    for name in ("knn_cosine", "knn_lsh", "knn_ivf"):
+        plan = _plan(queries[name](spark, SF))
+        assert "lambdafunction" not in plan, name
+        assert "ArrowEvalPython" in plan, name
+        assert "BatchEvalPython" not in plan, name  # no per-row Python
+
+
 def test_broadcast_joins_in_q5(spark, queries):
     """The dim chain must broadcast, never shuffle-join."""
     plan = _plan(queries["q5_nation_revenue"](spark, SF))
