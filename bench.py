@@ -89,7 +89,11 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    _noop(flagship(spark, sf_dir, factor=1))  # JVM/codegen/worker warmup
+    # warm up with the EXACT measured flagship shape (same replication
+    # factor => same plan): a factor=1 warmup leaves the replicated
+    # plan's codegen + python-worker scale-up inside the timed run,
+    # under-reporting the steady-state docs/sec by ~2x (r1 finding)
+    _noop(flagship(spark, sf_dir))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -143,6 +143,11 @@ def minhash_band_signatures(
     Deliberately NOT a higher-order-function fold: transform/aggregate
     lambdas are interpreted per element (no whole-stage codegen) and
     benched 10x slower than this explode+codegen-agg shape."""
+    if not 1 <= bands <= 8:
+        # 32 hex chars / 4-char groups = 8 distinct rotations; beyond
+        # that rot(b) == rot(b-8) and band signatures silently repeat,
+        # inflating LSH candidate recall
+        raise ValueError(f"bands must be in 1..8, got {bands}")
     sh = docs.select("doc_id", F.explode(_gram_array(n, text_col)).alias("shingle"))
     h = F.md5("shingle")
 

@@ -4,8 +4,10 @@ Scale notes: the file source lists + checkpoints processed files, so
 a landing-zone directory of parquet partitions becomes an incremental
 feed with no external queue; ``maxFilesPerTrigger`` bounds micro-batch
 size. The foreachBatch extraction reuses the fused batch pipeline —
-one shuffle + one Arrow crossing per micro-batch — and writes append-
-only parquet, so replays of a failed batch overwrite nothing.
+one shuffle + one Arrow crossing per micro-batch — and writes parquet
+partitioned by batch_id with dynamic partition overwrite, so a replay
+of a failed batch replaces exactly its own partition (idempotent:
+exactly-once output even when foreachBatch re-delivers a batch).
 """
 
 from __future__ import annotations
@@ -33,6 +35,21 @@ def stream_documents(
     return reader.parquet(source_dir)
 
 
+def write_batch_idempotent(out: DataFrame, batch_id: int, output_dir: str) -> None:
+    """Idempotent micro-batch sink: parquet partitioned by batch_id,
+    dynamic overwrite — writing the same batch twice (foreachBatch
+    replay after a mid-batch failure) leaves exactly one copy, because
+    mode=overwrite with partitionOverwriteMode=dynamic replaces only
+    the batch_id partitions present in THIS write."""
+    (
+        out.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_dir)
+    )
+
+
 def stream_extract(
     stream_docs: DataFrame,
     output_dir: str,
@@ -40,18 +57,23 @@ def stream_extract(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Run the fused extraction pipeline on every micro-batch and
-    append results as parquet. ``foreachBatch`` is the right tool
+    write results as parquet. ``foreachBatch`` is the right tool
     here (not a streaming agg): each document arrives whole — one row
     — so reassembly never crosses batch boundaries and needs no
     streaming state. available_now=True drains the backlog and stops
-    (the batch-parity mode used by tests and backfills)."""
+    (the batch-parity mode used by tests and backfills).
+
+    Exactly-once: ``foreachBatch`` is at-least-once — a batch that
+    fails after a partial write is re-delivered with the SAME
+    batch_id. The write is therefore idempotent per batch:
+    partitioned by batch_id with dynamic partition overwrite, a
+    replay replaces exactly its own partition (see
+    :func:`write_batch_idempotent`)."""
     from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = run_pipeline_fused(explode_spans(batch_df))
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            output_dir
-        )
+        write_batch_idempotent(out, batch_id, output_dir)
 
     writer = (
         stream_docs.writeStream.foreachBatch(process_batch)

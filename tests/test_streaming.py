@@ -77,6 +77,27 @@ def test_stream_restart_is_exactly_once(spark, tmp_path, corpus_dir):
     assert final.filter(F.col("doc_id").startswith("late-")).count() == 7
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path, corpus_dir):
+    """foreachBatch re-delivers a failed batch with the same batch_id;
+    the sink must end up with exactly one copy (dynamic partition
+    overwrite on batch_id), and other batches must stay untouched."""
+    from smartglass_ocr_spark.streaming.pipeline import write_batch_idempotent
+
+    src_dir, docs = corpus_dir
+    out = str(tmp_path / "replay_out")
+    result = run_pipeline_fused(explode_spans(spark.read.parquet(src_dir)))
+    write_batch_idempotent(result.limit(10), 0, out)
+    write_batch_idempotent(result, 1, out)
+    n_before = spark.read.parquet(out).count()
+    # replay batch 1 (as after a mid-batch failure): no duplicates,
+    # batch 0 untouched
+    write_batch_idempotent(result, 1, out)
+    df = spark.read.parquet(out)
+    assert df.count() == n_before
+    assert df.filter(F.col("batch_id") == 0).count() == 10
+    assert df.filter(F.col("batch_id") == 1).count() == len(docs)
+
+
 def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "ev")

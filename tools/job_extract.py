@@ -5,7 +5,13 @@
     spark-submit --py-files smartglass_ocr_spark.zip \
         tools/job_extract.py --input <docs parquet/iceberg path> \
         --output <dir> --checkpoint <dir> --metrics <dir> \
-        --run-id r1 [--partitions 64] [--resume]
+        --run-id r1 [--partitions 64] [--flat]
+
+Resume needs no flag: re-running with the same --checkpoint skips
+partitions already marked complete (left-anti join in
+checkpoint.run_extraction_job) and overwrites only its own output
+partitions. ``--flat`` derives the spans corpus from a flat
+(doc_id, text) table; omit it for a spans-shaped input.
 
 On a cluster nothing changes except the master/conf flags; here the
 session defaults come from smartglass_ocr_spark.session (the module

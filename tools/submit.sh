@@ -4,6 +4,9 @@
 # local[N]; on a cluster replace --master (and drop the local conf).
 #
 #   tools/submit.sh <input> <output> <checkpoint> <metrics> [run_id]
+#
+# FLAT=1 (default) treats <input> as the flat (doc_id, text) table and
+# derives the spans corpus; FLAT=0 reads a spans-shaped corpus as-is.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -11,6 +14,7 @@ INPUT=${1:?input path}; OUTPUT=${2:?output path}
 CKPT=${3:?checkpoint path}; METRICS=${4:?metrics path}
 RUN_ID=${5:-run-$(date +%s)}
 CPUS=${SPARK_GRAFT_CPUS:-32}
+FLAT_FLAG=$([ "${FLAT:-1}" = "0" ] && echo "" || echo "--flat")
 
 ZIP=$(mktemp -d)/smartglass_ocr_spark.zip
 python - "$ZIP" <<'EOF'
@@ -34,4 +38,4 @@ exec spark-submit \
   tools/job_extract.py \
   --input "$INPUT" --output "$OUTPUT" \
   --checkpoint "$CKPT" --metrics "$METRICS" \
-  --run-id "$RUN_ID" --flat
+  --run-id "$RUN_ID" $FLAT_FLAG
