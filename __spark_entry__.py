@@ -378,6 +378,32 @@ def _q_w6_bullet_fold(spark, sf_dir):
     return bullet_fold(_t(spark, sf_dir, "documents"))
 
 
+def _q_sample_split(spark, sf_dir):
+    from smartglass_ocr_spark.ops.sampling import hash_split
+
+    # full membership check: one row per doc with its assigned split
+    return hash_split(_t(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+def _q_sample_bernoulli(spark, sf_dir):
+    from smartglass_ocr_spark.ops.sampling import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), rate=0.25).select("doc_id")
+
+
+def _q_stratified_sample(spark, sf_dir):
+    from smartglass_ocr_spark.ops.sampling import stratified_sample
+
+    out = stratified_sample(_t(spark, sf_dir, "documents"), "lang", 20)
+    return out.select("doc_id", "lang")
+
+
+def _q_length_buckets(spark, sf_dir):
+    from smartglass_ocr_spark.ops.sampling import length_buckets
+
+    return length_buckets(_t(spark, sf_dir, "documents"))
+
+
 def _q_response_clean(spark, sf_dir):
     # F11 clean_response_text (ref lib/utils.py:404-432) as pure
     # codegen expressions — the Python twin lives in rules/format.py
@@ -450,6 +476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_header_sections": _q_w5_header_sections,
         "w6_bullet_fold": _q_w6_bullet_fold,
         "response_clean": _q_response_clean,
+        "sample_split": _q_sample_split,
+        "sample_bernoulli": _q_sample_bernoulli,
+        "stratified_sample": _q_stratified_sample,
+        "length_buckets": _q_length_buckets,
     }
 
 
@@ -934,5 +964,47 @@ def oracle_sql() -> dict[str, str]:
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3
+        """,
+        # ops/sampling.py twins: md5-bucket in [0,10000) from the same
+        # 32-bit-prefix construction as the LSH planes
+        "sample_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 8))::BIGINT
+                             % 10000 < 9000 THEN 'train'
+                        WHEN ('0x' || substr(md5(doc_id || ':split'), 1, 8))::BIGINT
+                             % 10000 < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "sample_bernoulli": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(doc_id || ':sample'), 1, 8))::BIGINT
+                  % 10000 < 2500
+        """,
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(doc_id || ':strata'), doc_id::VARCHAR
+                       ) AS rk
+                FROM documents
+            )
+            SELECT doc_id, lang FROM ranked WHERE rk <= 20
+        """,
+        "length_buckets": r"""
+            WITH t AS (
+                SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                FROM documents
+            )
+            SELECT CASE WHEN n_tokens <= 64 THEN '<=64'
+                        WHEN n_tokens <= 128 THEN '<=128'
+                        WHEN n_tokens <= 256 THEN '<=256'
+                        WHEN n_tokens <= 512 THEN '<=512'
+                        WHEN n_tokens <= 1024 THEN '<=1024'
+                        ELSE '>1024' END AS bucket,
+                   count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS total_tokens
+            FROM t GROUP BY bucket
         """,
     }

@@ -1,0 +1,125 @@
+"""Deterministic sampling / dataset-split operators — the
+training-data counterparts of the dedup/textstats ops (driver brief:
+"operations a large-scale training-data pipeline would need").
+
+Everything is keyed on md5 of a stable id (+ a salt), so:
+
+- results are reproducible across runs, engines and row order — no
+  RNG, no ``rand()`` (the repo-wide determinism ban, SURVEY.md §4),
+  and every op has an exact DuckDB oracle twin;
+- membership is a pure per-row predicate/projection — the split and
+  the Bernoulli sample add NO shuffle at any scale (they run inside
+  the scan stage, and parquet row-group pruning applies upstream);
+- changing the salt re-draws the sample without touching the data.
+
+The stratified sample is the one shuffled op (row_number per stratum
+— one hash exchange on the stratum key), which is the unavoidable
+minimum for exact per-stratum counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# md5-bucket resolution: rates are exact multiples of 1/10000
+_BUCKETS = 10_000
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 10000) from md5(key ':' salt) — the same
+    32-bit-prefix construction as the LSH planes (cross-engine: DuckDB
+    ('0x' || substr(md5(..),1,8))::BIGINT gives identical values)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", key.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return h % _BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a deterministic ``split`` column ('train'/'val'/... per
+    ``weights``, default 90/5/5). A document's split depends only on
+    (key, salt): stable under reshuffles, appends, and engine — the
+    property a 10^12-doc corpus needs so later ingests can't leak
+    val docs into train. Pure projection, zero shuffle."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = _hash_bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    *head, (last_name, _) = list(weights.items())
+    for name, w in head:
+        acc += w / total
+        threshold = int(round(acc * _BUCKETS))
+        cond = bucket < F.lit(threshold)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(last_name) if expr is None else expr.otherwise(F.lit(last_name))
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample: keep rows whose md5
+    bucket falls under rate. A pure scan-stage predicate (no shuffle,
+    no state); two samples with different salts are independent."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_hash_bucket(F.col(key_col), salt) < int(round(rate * _BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the
+    stratum is smaller), chosen by md5 rank — deterministic and
+    order-independent. One hash exchange on the stratum key;
+    WindowGroupLimit pushes the per-partition rank cutoff below the
+    shuffle, so only ~n rows per (stratum, input partition) move."""
+    rank_key = F.md5(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(key_col).cast("string"))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    edges: tuple[int, ...] = (64, 128, 256, 512, 1024),
+) -> DataFrame:
+    """Token-length histogram for sequence packing / batch shaping:
+    (bucket, n_docs, total_tokens), bucket = smallest edge >= token
+    count (whitespace tokens), top bucket open-ended. One partial-
+    combining hash-agg over |edges|+1 groups — aggregate state is a
+    handful of rows regardless of corpus size."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    bucket: Column = F.lit(f">{edges[-1]}")
+    for e in reversed(edges):
+        bucket = F.when(n_tokens <= e, F.lit(f"<={e}")).otherwise(bucket)
+    return (
+        docs.select(bucket.alias("bucket"), n_tokens.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
