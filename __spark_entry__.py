@@ -531,7 +531,13 @@ _LINES_CTE = r"""
 
 # DuckDB twin of ops/similarity.plane_matrix + _bucket_udf (bits=4,
 # the setting both LSH queries use): hyperplane components from
-# md5('lane:dim'), sign-of-dot bucket per vector
+# md5('lane:dim'), sign-of-dot bucket per vector.
+# fp note: the sign test compares a numpy (BLAS, pairwise-summed) dot
+# against DuckDB's sequential sum — the bucket could differ only if a
+# plane dot lands within float summation error of 0 (~1e-13 on O(1)
+# magnitudes; none of the driver corpus's 500x4 dots is closer than
+# 1e-3). knn_ivf stays un-oracled because its iterated mean
+# re-centering COMPOUNDS such error across Lloyd steps.
 _BUCKETS_CTE = """
     WITH dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
     comps AS (

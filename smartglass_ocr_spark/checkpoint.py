@@ -68,6 +68,14 @@ def _append_metrics(spark: SparkSession, path: str, rows: list[tuple]) -> None:
     spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(path)
 
 
+def _read_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """Metrics log read with the schema PINNED: a directory containing
+    files written before a schema addition (e.g. pre-``run_seq``)
+    still reads — missing columns come back null — instead of Spark
+    sampling an old footer and failing to resolve the new column."""
+    return spark.read.schema(METRICS_SCHEMA).parquet(path)
+
+
 def ewma_metrics(
     spark: SparkSession, metrics_path: str, alpha: float = 0.7
 ) -> DataFrame:
@@ -81,9 +89,15 @@ def ewma_metrics(
 
     Fold order is the monotonic ``run_seq`` the job records (NOT the
     run_id string — lexicographic run-id order breaks at 'run-10' vs
-    'run-2')."""
-    m = spark.read.parquet(metrics_path)
-    runs = F.array_sort(F.collect_list(F.struct("run_seq", "docs_per_sec")))
+    'run-2'); rows from a pre-``run_seq`` log fold first (seq 0)."""
+    m = _read_metrics(spark, metrics_path)
+    runs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.coalesce("run_seq", F.lit(0)).alias("run_seq"), "docs_per_sec"
+            )
+        )
+    )
     ewma = F.aggregate(
         runs,
         F.lit(None).cast("double"),
@@ -134,15 +148,18 @@ def run_extraction_job(
 
     # monotonic fold position for the EWMA (run_id strings sort
     # lexicographically — 'run-10' < 'run-2'); the metrics log itself
-    # records the sequence, so replays stay deterministic
+    # records the sequence, so replays stay deterministic. The pinned-
+    # schema read tolerates pre-run_seq log files (null -> seq 0).
+    from pyspark.errors import AnalysisException
+
     try:
         run_seq = (
-            spark.read.parquet(metrics_path)
-            .agg(F.max("run_seq"))
+            _read_metrics(spark, metrics_path)
+            .agg(F.max(F.coalesce("run_seq", F.lit(0))))
             .collect()[0][0]
             or 0
         ) + 1
-    except Exception:  # first run: no metrics log yet
+    except AnalysisException:  # first run: no metrics log yet
         run_seq = 1
 
     started = datetime.now(timezone.utc)
@@ -162,9 +179,13 @@ def run_extraction_job(
         "n_spans", F.size("spans")
     )
     # one pass: write output partitioned by the stable bucket id;
-    # observe() rides the write for exactly-once global totals
+    # an Observation rides the write for exactly-once global totals
+    # (returned in the result dict — no extra job)
+    from pyspark.sql import Observation
+
+    obs = Observation(f"extract_{run_id}")
     observed = result.observe(
-        f"extract_{run_id}",
+        obs,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_spans").alias("n_spans"),
     )
@@ -174,29 +195,35 @@ def run_extraction_job(
         .partitionBy("partition_id")
         .parquet(output_path)
     )
+    try:
+        totals = obs.get
+    except Exception:
+        # a fully-resumed run writes zero rows in zero tasks — the
+        # observation never produces its metrics row and `get` fails
+        # converting it; there is genuinely nothing to report
+        totals = {"n_docs": 0, "n_spans": 0}
     wall_ms = int((time.perf_counter() - t0) * 1000)
     finished = datetime.now(timezone.utc)
 
-    # per-partition lineage: second pass reads ONLY the pruned stat
-    # column (partition_id is a directory key) — ~0 bytes of payload
+    # per-partition lineage: second pass prunes to the partitions this
+    # run wrote (directory-key filter) and reads ONLY the int stat
+    # column — ~0 bytes of payload, no rescan of prior runs' output
+    stats_src = spark.read.parquet(output_path)
+    if done:
+        stats_src = stats_src.filter(~F.col("partition_id").isin(list(done)))
     stats = (
-        spark.read.parquet(output_path)
-        .groupBy("partition_id")
+        stats_src.groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_spans").alias("n_spans"),
         )
         .collect()
     )
-    processed = sorted(
-        int(r["partition_id"]) for r in stats if int(r["partition_id"]) not in done
-    )
+    processed = sorted(int(r["partition_id"]) for r in stats)
     secs = max(wall_ms, 1) / 1000.0
     ckpt_rows, metric_rows = [], []
     for r in stats:
         pid = int(r["partition_id"])
-        if pid in done:
-            continue
         ckpt_rows.append(
             (run_id, pid, 1, "complete", r["n_docs"], r["n_spans"], started, finished, input_snapshot)
         )
@@ -211,4 +238,10 @@ def run_extraction_job(
     if ckpt_rows:
         _append_checkpoint(spark, checkpoint_path, ckpt_rows)
         _append_metrics(spark, metrics_path, metric_rows)
-    return {"processed": processed, "skipped": sorted(done)}
+    return {
+        "processed": processed,
+        "skipped": sorted(done),
+        # write-pass totals for THIS run (Observation, no extra job)
+        "n_docs": int(totals.get("n_docs") or 0),
+        "n_spans": int(totals.get("n_spans") or 0),
+    }

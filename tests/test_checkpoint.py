@@ -98,6 +98,32 @@ def test_checkpoint_and_metrics_schema(spark, paths):
     assert metrics.filter("docs_per_sec <= 0").count() == 0
 
 
+def test_metrics_log_tolerates_pre_run_seq_files(spark, paths):
+    """A metrics dir with files written before the run_seq column was
+    added must still work: the pinned-schema read nulls the missing
+    column (folded as seq 0) instead of failing resolution against an
+    old parquet footer."""
+    from smartglass_ocr_spark.checkpoint import ewma_metrics, run_extraction_job
+
+    legacy_schema = (
+        "run_id string, partition_id int, docs_per_sec double, "
+        "spans_per_sec double, stage string, wall_ms long"
+    )
+    legacy = [("run-legacy", p, 100.0 + p, 400.0, "extract", 500) for p in range(4)]
+    spark.createDataFrame(legacy, legacy_schema).write.parquet(paths["metrics"])
+
+    docs = docs_to_df(spark, generate_docs(n_docs=10, seed=3))
+    res = run_extraction_job(
+        spark, docs, paths["out"], paths["ckpt"], paths["metrics"], "run-1",
+        n_partitions=4,
+    )
+    assert res["n_docs"] == 10 and res["n_spans"] > 0
+    got = {r["partition_id"]: r for r in ewma_metrics(spark, paths["metrics"]).collect()}
+    # legacy row (seq 0) folds first, new run (seq 1) second
+    for p in range(4):
+        assert got[p]["n_runs"] == 2
+
+
 def test_ewma_metrics(spark, paths):
     from smartglass_ocr_spark.checkpoint import ewma_metrics, run_extraction_job
     from smartglass_ocr_spark.corpus import docs_to_df, generate_docs

@@ -158,6 +158,19 @@ def test_format_dispatch_covers_every_formatter_on_corpus():
         assert seen[structure] > 0, (structure, dict(seen))
 
 
+def test_format_dispatch_structures_not_in_corpus():
+    """headers_and_content and plain_text rarely/never appear in the
+    corpus — pin their dispatch with handcrafted inputs so a dropped
+    _FORMATTERS key can't silently fall back to default_formatting."""
+    hc = "HEADER ONE\n\nbody text here.\n\nHEADER TWO\n\nmore body.\n\nHEADER THREE\n\nend."
+    assert detect_structure(hc) == "headers_and_content"
+    assert format_text(hc) == format_headers_and_content(hc).strip()
+
+    tiny = "short note"
+    assert detect_structure(tiny) == "plain_text"
+    assert format_text(tiny) == format_plain_text(tiny).strip()
+
+
 def test_downstream_consumes_formatted_text():
     docs = generate_docs(60, seed=12)
     for out in golden_outputs(docs):
