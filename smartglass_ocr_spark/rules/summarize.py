@@ -95,9 +95,84 @@ def generate_summary(text: str, max_length: int = 200, style: str = "concise") -
     top = sorted(scores.items(), key=lambda kv: kv[1], reverse=True)[:target]
     chosen = sorted(idx for idx, _ in top)
     summary = " ".join(sentences[i] for i in chosen if i < len(sentences))
+    # bullets/structured bypass truncation (ref :2121-2124)
+    if style == "bullets":
+        return format_as_bullet_points(summary)
+    if style == "structured":
+        return format_as_structured_summary(summary)
     if len(summary) > max_length:
         summary = summary[: max_length - 3] + "..."
     return summary
+
+
+_NAME_RX = re.compile(r"\b[A-Z][a-z]+(?:\s+[A-Z][a-z]+){1,2}\b")
+_ORG_RXS = (
+    re.compile(
+        r"\b[A-Z][a-z]*(?:\s+[A-Z][a-z]*)+\s+"
+        r"(?:Inc|Corp|Co|Ltd|LLC|Company|Association|Organization)\b"
+    ),
+    re.compile(r"\b[A-Z][A-Z]+\b"),
+)
+_LOC_RX = re.compile(r"\b[A-Z][a-z]+(?:,\s+[A-Z][a-z]+)?\b")
+_DATE_RXS = (
+    re.compile(r"\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b"),
+    re.compile(
+        r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*"
+        r"\s+\d{1,2}(?:st|nd|rd|th)?,?\s+\d{2,4}\b"
+    ),
+    re.compile(
+        r"\b\d{1,2}(?:st|nd|rd|th)?\s+(?:of\s+)?"
+        r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*,?\s+\d{2,4}\b"
+    ),
+)
+
+
+def _unique(items: list[str], k: int) -> list[str]:
+    """First-seen-order unique, top k. The reference uses
+    ``list(set(...))[:k]`` whose order depends on the process hash
+    seed — nondeterministic across runs, so banned here (SURVEY §4);
+    first-seen order is the deterministic replacement."""
+    return list(dict.fromkeys(items))[:k]
+
+
+def format_as_bullet_points(summary: str) -> str:
+    """'bullets' summary style — ref lib/text_processing.py:2132-2160:
+    one bullet per sentence, terminal punctuation enforced."""
+    out = []
+    for sentence in _SENT_SPLIT_RX.split(summary):
+        s = sentence.strip()
+        if s:
+            if s[-1] not in (".", "!", "?"):
+                s += "."
+            out.append(f"• {s}")
+    return "\n".join(out)
+
+
+def format_as_structured_summary(summary: str) -> str:
+    """'structured' summary style — ref lib/text_processing.py:
+    2162-2242: SUMMARY section plus regex-harvested PEOPLE /
+    ORGANIZATIONS / LOCATIONS / DATES sections (top 3/3/3/2)."""
+    sections: dict[str, str] = {"SUMMARY": summary}
+    people = _unique(_NAME_RX.findall(summary), 3)
+    orgs = _unique(
+        [m for rx in _ORG_RXS for m in rx.findall(summary)], 3
+    )
+    locs = _unique(_LOC_RX.findall(summary), 3)
+    dates = _unique(
+        [m for rx in _DATE_RXS for m in rx.findall(summary)], 2
+    )
+    if people:
+        sections["PEOPLE"] = ", ".join(people)
+    if orgs:
+        sections["ORGANIZATIONS"] = ", ".join(orgs)
+    if locs:
+        sections["LOCATIONS"] = ", ".join(locs)
+    if dates:
+        sections["DATES"] = ", ".join(dates)
+    parts = []
+    for section, content in sections.items():
+        parts.extend((f"{section}:", content, ""))
+    return "\n".join(parts).strip()
 
 
 def extract_key_insights(text: str) -> list[str]:
