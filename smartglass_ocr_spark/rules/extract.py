@@ -331,3 +331,39 @@ def confidence_level(confidence: float) -> str:
     if confidence >= 20:
         return "Low"
     return "Very Low"
+
+
+# ref lib/information_extraction.py:644-684 `_format_structured_info`
+# key sets (the reference filters its nested dict by these exact keys)
+_FMT_ID_CARD_KEYS = (
+    "name", "id_number", "date_of_birth", "gender", "address",
+    "expiration_date", "issue_date", "nationality",
+)
+_FMT_RECEIPT_KEYS = ("merchant", "date", "time", "subtotal", "tax", "total")
+
+
+def format_structured_info(info: dict) -> dict[str, dict]:
+    """Grouped view of the flat structured_info map — E8's
+    ``_format_structured_info`` (ref lib/information_extraction.py:
+    644-684): id_card / receipt sections keyed by sentinel fields,
+    'general' fallback. Our receipt items are flattened
+    ``item_N_*`` keys (the reference keeps a nested list), so
+    items_count counts distinct item indices."""
+    if not info:
+        return {}
+    formatted: dict[str, dict] = {}
+    if "name" in info or "id_number" in info:
+        formatted["id_card"] = {
+            k: v for k, v in info.items() if k in _FMT_ID_CARD_KEYS
+        }
+    if "merchant" in info or "total" in info:
+        receipt = {k: v for k, v in info.items() if k in _FMT_RECEIPT_KEYS}
+        item_keys = [k for k in info if k.startswith("item_")]
+        if item_keys:
+            receipt["items_count"] = str(len({k.split("_")[1] for k in item_keys}))
+            for k in sorted(item_keys):
+                receipt[k] = info[k]
+        formatted["receipt"] = receipt
+    if not formatted:
+        formatted["general"] = dict(info)
+    return formatted

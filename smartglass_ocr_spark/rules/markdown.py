@@ -68,8 +68,17 @@ def render_markdown(doc: dict) -> str:
         parts += [f"- {escape_md(i)}" for i in insights]
     info = doc.get("structured_info") or {}
     if info:
-        parts += ["", "## Extracted Fields", "", "| Field | Value |", "| --- | --- |"]
-        parts += [f"| {escape_md(k)} | {escape_md(str(info[k]))} |" for k in sorted(info)]
+        from smartglass_ocr_spark.rules.extract import format_structured_info
+
+        # grouped per E8's _format_structured_info
+        # (ref lib/information_extraction.py:644-684)
+        parts += ["", "## Extracted Fields"]
+        for section, fields in format_structured_info(dict(info)).items():
+            parts += ["", f"### {section}", "", "| Field | Value |", "| --- | --- |"]
+            parts += [
+                f"| {escape_md(k)} | {escape_md(str(fields[k]))} |"
+                for k in sorted(fields)
+            ]
     spans = doc.get("spans")
     body = _content_blocks(
         list(spans) if spans is not None else [], doc.get("structure") or ""
