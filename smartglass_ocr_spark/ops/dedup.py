@@ -31,8 +31,9 @@ from pyspark.sql import DataFrame, functions as F
 TOKEN_SPLIT = r"\s+"
 
 
-def _tokens(col: str = "text") -> F.Column:
-    return F.split(F.trim(F.col(col)), TOKEN_SPLIT)
+def _tokens(col: str | F.Column = "text") -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), TOKEN_SPLIT)
 
 
 def exact_duplicate_clusters(
@@ -65,7 +66,7 @@ def normalized_dedupe(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _gram_array(n: int, text_col: str = "text") -> F.Column:
+def _gram_array(n: int, text_col: str | F.Column = "text") -> F.Column:
     """Word n-gram shingles of a doc as an in-row array (narrow)."""
     toks = _tokens(text_col)
     count = F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1))
@@ -230,10 +231,21 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return lane_sums.select("doc_id", simhash.alias("simhash"))
 
 
+def min_shingle_fingerprint(
+    n: int = 5, text_col: str | F.Column = "text"
+) -> F.Column:
+    """The fingerprint as a bare column expression (name or derived
+    Column) — fully narrow (in-row fold), so it also works on
+    streaming frames where a groupBy would need stateful-agg
+    plumbing."""
+    return F.array_min(F.transform(_gram_array(n, text_col), lambda g: F.md5(g)))
+
+
 def fingerprint_min_shingle(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
     """Single-permutation document fingerprint: min md5 over word
     n-gram shingles (winnowing-lite). Fully narrow — the min is an
     in-row ``array_min`` fold, no explode, no shuffle (duplicates
     can't change a min, so the distinct is unnecessary too)."""
-    fp = F.array_min(F.transform(_gram_array(n, text_col), lambda g: F.md5(g)))
-    return docs.select("doc_id", fp.alias("fingerprint"))
+    return docs.select(
+        "doc_id", min_shingle_fingerprint(n, text_col).alias("fingerprint")
+    )

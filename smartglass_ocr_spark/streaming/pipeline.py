@@ -152,6 +152,31 @@ def stream_dedup_exact(stream_docs: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_near(stream_docs: DataFrame, n: int = 5) -> DataFrame:
+    """Stateful NEAR-dup suppression on a document stream: the first
+    document with a given min-shingle fingerprint (winnowing-lite —
+    the batch twin is ops.dedup.fingerprint_min_shingle) passes;
+    later documents sharing it — same or any later batch — drop.
+    The fingerprint is an in-row fold (no shuffle, stream-legal
+    without a stateful agg); state is one md5 per distinct
+    fingerprint in the checkpointed dropDuplicates store. Catches
+    boilerplate re-crawls whose *minimum* shingle survives small
+    edits, at zero join cost — the LSH band join remains the batch
+    tool for thorough near-dedup."""
+    from smartglass_ocr_spark.ops.dedup import min_shingle_fingerprint
+
+    doc_text = F.array_join(
+        F.filter(
+            F.transform("spans", lambda s: s["text"]),
+            lambda t: t.isNotNull(),
+        ),
+        "\n",
+    )
+    return stream_docs.withColumn(
+        "fingerprint", min_shingle_fingerprint(n, doc_text)
+    ).dropDuplicates(["fingerprint"])
+
+
 RUNNING_TOTALS_STATE = "total double, n bigint"
 RUNNING_TOTALS_OUTPUT = "user_id bigint, total double, n bigint"
 

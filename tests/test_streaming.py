@@ -217,3 +217,44 @@ def test_running_user_totals_stateful(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_dedup_near_min_shingle(spark, tmp_path):
+    """Near-dup suppression: docs sharing the min n-gram shingle drop
+    across batches; a genuinely different doc passes. Batch-parity:
+    the kept set matches ops.dedup.fingerprint_min_shingle distinct
+    fingerprints."""
+    from smartglass_ocr_spark.ops.dedup import fingerprint_min_shingle
+    from smartglass_ocr_spark.streaming.pipeline import stream_dedup_near
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = [
+        {"doc_id": "orig", "spans": [{"kind": "para", "text": base, "media_ref": None, "offset": 0}]},
+        # small tail edit: min shingle usually survives -> near-dup
+        {"doc_id": "edited", "spans": [{"kind": "para", "text": base + " extra", "media_ref": None, "offset": 0}]},
+        {"doc_id": "other", "spans": [{"kind": "para", "text": "completely different words here and everywhere now okay then", "media_ref": None, "offset": 0}]},
+    ]
+    src = str(tmp_path / "nd")
+    docs_to_df(spark, docs).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    q = (
+        stream_dedup_near(stream_documents(spark, src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.read.parquet(out)
+    flat = spark.createDataFrame(
+        [(d["doc_id"], d["spans"][0]["text"]) for d in docs], "doc_id string, text string"
+    )
+    n_distinct = (
+        fingerprint_min_shingle(flat).select("fingerprint").distinct().count()
+    )
+    assert kept.count() == n_distinct
+    assert kept.filter(F.col("doc_id") == "other").count() == 1
