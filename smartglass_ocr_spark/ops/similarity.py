@@ -67,16 +67,24 @@ def _cosine_vs_query(query: list[float]):
             return pd.Series([], dtype="float64")
         return pd.Series((m @ qv) / (_row_norms(m) * qn))
 
-    return cos
+    # pure function; the marker only stops Catalyst re-evaluating the
+    # UDF when a filter and a projection both reference it (measured:
+    # halves the Arrow crossings in the near-dup/probe plans)
+    return cos.asNondeterministic()
 
 
 @F.pandas_udf(DoubleType())
-def _pair_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+def _pair_cosine_impl(a: pd.Series, b: pd.Series) -> pd.Series:
     ma, mb = _to_matrix(a), _to_matrix(b)
     if ma.shape[0] == 0:
         return pd.Series([], dtype="float64")
     dots = np.einsum("ij,ij->i", ma, mb)
     return pd.Series(dots / (_row_norms(ma) * _row_norms(mb)))
+
+
+# pure; marked only to suppress Catalyst's duplicate evaluation when
+# the threshold filter and the output projection both reference it
+_pair_cosine = _pair_cosine_impl.asNondeterministic()
 
 
 def _plane_component(lane: int, dim: int) -> float:
@@ -121,7 +129,9 @@ def _bucket_udf(bits: int):
         out = signs @ (1 << np.arange(bits))
         return pd.Series(out.astype("int32"))
 
-    return bucket
+    # pure; marker prevents the join-key isnotnull filter from forcing
+    # a second full bucket evaluation per side
+    return bucket.asNondeterministic()
 
 
 # ------------------------------------------------------------ queries --
@@ -193,7 +203,8 @@ def _assign_udf(centroids: list[list[float]]):
         sims = (m / _row_norms(m)[:, None]) @ cu.T  # (batch, k)
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
-    return assign
+    # pure; marker suppresses duplicate evaluation (see _pair_cosine)
+    return assign.asNondeterministic()
 
 
 def ivf_build_centroids(
