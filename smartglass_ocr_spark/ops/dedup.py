@@ -94,30 +94,44 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
 
-    shingles -> (hot-shingle cap) -> self-join on shingle -> pair
-    intersection counts -> join per-doc sizes -> |A∩B|/(|A|+|B|-|A∩B|).
+    shingles -> (hot-shingle cap) -> per-doc size attached via window
+    -> self-join on shingle -> one pair agg carrying both sizes ->
+    |A∩B|/(|A|+|B|-|A∩B|).
+
+    Shape note (r2): per-doc sizes ride the shingle rows as a window
+    count instead of a separate aggregate joined back twice — the r1
+    plan evaluated the shingle derivation FOUR times (sizes, hot-cap
+    counts, both join sides: 4 corpus scans / 7 exchanges); this one
+    scans twice (the two join sides, identical subtrees the runtime
+    can reuse) with one window exchange each and a single pair agg.
     """
+    from pyspark.sql.window import Window
+
     sh = shingle_rows(docs, n=n, text_col=text_col)
     if max_shingle_docs is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.filter(F.col("df") > max_shingle_docs).select("shingle")),
-            "shingle",
-            "left_anti",
-        )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        # document frequency per shingle, window over the same rows
+        # (no second derivation of the corpus)
+        sh = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        ).filter(F.col("_df") <= max_shingle_docs).drop("_df")
+    shs = sh.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = shs.alias("a")
+    b = shs.alias("b")
     common = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # constant within the group — min() just picks it up
+            F.min("a.n_shingles").alias("size_a"),
+            F.min("b.n_shingles").alias("size_b"),
+        )
     )
     return (
-        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
