@@ -98,3 +98,66 @@ def test_process_document_invariants(spans):
     # permutation invariance of the input span order
     doc2 = {"doc_id": "d", "spans": list(reversed(doc["spans"]))}
     assert process_document(doc2) == out
+
+
+# ---- F8 format/organize total-function properties ------------------
+
+_FMT_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(text=_FMT_TEXT, structure=st.sampled_from(
+    ["plain_text", "paragraphs", "headers_and_content", "bullet_points",
+     "table", "form", "multi_column", "scientific", "mixed", "bogus"]))
+@settings(max_examples=150, deadline=None)
+def test_format_text_total_and_charset(text, structure):
+    """format_text never raises on arbitrary unicode, and its output
+    contains only the reference's allowed character classes
+    (ref :1208 strip) with no leading/trailing whitespace."""
+    import re
+
+    from smartglass_ocr_spark.rules.format import format_text
+
+    out = format_text(text, structure)
+    assert out == out.strip()
+    assert re.search(r"[^\w\s.!?,;:()\"'•\-\n]", out) is None
+
+
+@given(text=_FMT_TEXT, cls=st.sampled_from(
+    ["content", "form", "receipt", "id_card", "table", "anything"]))
+@settings(max_examples=150, deadline=None)
+def test_organize_text_total(text, cls):
+    """Every organize machine is total over arbitrary unicode."""
+    from smartglass_ocr_spark.rules.format import organize_text
+
+    out = organize_text(text, cls)
+    assert isinstance(out, str)
+
+
+@given(text=_FMT_TEXT)
+@settings(max_examples=100, deadline=None)
+def test_clean_response_text_properties(text):
+    """No newlines/tabs/backslashes survive. (NOT double-space-free
+    or idempotent: the reference removes backslashes AFTER the
+    whitespace collapse, so ' \\ ' legitimately becomes '  ' —
+    ref lib/utils.py:419-425 order, kept.)"""
+    from smartglass_ocr_spark.rules.format import clean_response_text
+
+    out = clean_response_text(text)
+    assert "\n" not in out and "\t" not in out and "\\" not in out
+    assert out == out.strip()
+
+
+def test_clean_response_backslash_double_space_quirk():
+    from smartglass_ocr_spark.rules.format import clean_response_text
+
+    assert clean_response_text("a \\ b") == "a  b"  # ref pass order
+
+
+@given(text=_FMT_TEXT)
+@settings(max_examples=100, deadline=None)
+def test_fix_indonesian_total(text):
+    from smartglass_ocr_spark.rules.cleanup import fix_indonesian_text
+
+    assert isinstance(fix_indonesian_text(text), str)
