@@ -1,0 +1,130 @@
+"""Executable parity against the ACTUAL reference implementation.
+
+These tests import the pure-text functions of
+``/root/reference/lib/text_processing.py`` (with the OCR-engine deps
+stubbed out — the text functions never touch them; NLTK is absent in
+both environments so both run the regex paths) and assert our rules
+produce byte-identical output over the full synthetic corpus plus
+adversarial inputs. This is the strongest available evidence for the
+north rule's "matching the reference's extracted text per document":
+not a re-reading of the reference source, but its execution.
+
+Skipped wholesale when the reference checkout is not present (this
+repo is standalone; the reference is a build-time fixture only).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import types
+
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(f"{REF}/lib/text_processing.py"),
+        reason="reference checkout not present",
+    ),
+    # the reference module spawns an easyocr init thread at import
+    # time that dies against our stub — harmless here
+    pytest.mark.filterwarnings(
+        "ignore::pytest.PytestUnhandledThreadExceptionWarning"
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_tp():
+    for name in (
+        "cv2", "pytesseract", "PIL", "PIL.Image", "easyocr", "paddleocr",
+        "nltk", "pdf2image",
+    ):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from lib.text_processing import NLTK_AVAILABLE, TextProcessor
+
+    assert not NLTK_AVAILABLE  # both sides must take the regex paths
+    return TextProcessor()
+
+
+@pytest.fixture(scope="module")
+def corpus_texts():
+    from smartglass_ocr_spark.corpus import generate_docs
+    from smartglass_ocr_spark.golden import golden_outputs
+
+    docs = generate_docs(300, seed=23)
+    texts = []
+    for out in golden_outputs(docs):
+        texts.append(
+            "\n\n".join(s["text"] for s in out["spans"] if s["text"])
+        )
+    # adversarial extras exercising every formatter branch
+    texts += [
+        "",
+        "tiny",
+        "INTRO\nbody one.\nbody two.\nNEXT PART\nmore.",
+        "* first\ncontinuation\n- second\n1. third",
+        "Name|Qty\nfoo | 2\nbar|3",
+        "Name      Qty   Price\nitem1     2     3.50\nitem2     1     9.99",
+        "Label: value\nCity   Springfield\nplain",
+        "short col\n" * 14,
+        "intro\nE = mc^2\nafter\nmore",
+        "a\n\n\n\nb\n- x\nHEAD LINE\nregular sentence that is long enough to pass.",
+    ]
+    return texts
+
+
+def test_detect_structure_matches_reference(ref_tp, corpus_texts):
+    from smartglass_ocr_spark.rules.structure import detect_structure
+
+    for t in corpus_texts:
+        assert detect_structure(t) == ref_tp.detect_document_structure(t).value, t[:80]
+
+
+def test_format_text_matches_reference(ref_tp, corpus_texts):
+    from smartglass_ocr_spark.rules.format import format_text
+
+    for t in corpus_texts:
+        # empty layout_info -> reference detects structure from text,
+        # same as our dispatcher (ref :1183-1185)
+        assert format_text(t) == ref_tp.format_text(t, {}), t[:80]
+
+
+def test_organize_machines_match_reference(ref_tp, corpus_texts):
+    from smartglass_ocr_spark.rules import format as fmt
+
+    pairs = [
+        (fmt.organize_document_text, ref_tp._organize_document_text),
+        (fmt.organize_form_text, ref_tp._organize_form_text),
+        (fmt.organize_receipt_text, ref_tp._organize_receipt_text),
+        (fmt.organize_id_card_text, ref_tp._organize_id_card_text),
+        (fmt.organize_table_text, ref_tp._organize_table_text),
+        (fmt.default_text_organization, ref_tp._default_text_organization),
+    ]
+    for t in corpus_texts:
+        for ours, theirs in pairs:
+            assert ours(t) == theirs(t), (ours.__name__, t[:80])
+
+
+def test_clean_response_text_matches_reference(ref_tp, corpus_texts):
+    from lib.utils import clean_response_text as ref_clean
+
+    from smartglass_ocr_spark.rules.format import clean_response_text
+
+    for t in corpus_texts + ["a \\ b", "x\t\ty", "\r\nz\r\n"]:
+        assert clean_response_text(t) == ref_clean(t), t[:80]
+
+
+def test_summary_and_insights_match_reference(ref_tp, corpus_texts):
+    from smartglass_ocr_spark.rules.summarize import (
+        extract_key_insights,
+        generate_summary,
+    )
+
+    for t in corpus_texts:
+        assert generate_summary(t) == ref_tp.generate_summary(t), t[:80]
+        assert extract_key_insights(t) == ref_tp.extract_key_insights(t), t[:80]
