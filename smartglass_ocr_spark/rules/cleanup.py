@@ -410,13 +410,21 @@ def fix_table(text: str) -> str:
     ]
     if len(positions_per_line) <= 2:
         return text
-    counts: dict[int, int] = {}
+    # starts and ends are counted in SEPARATE dicts and thresholded
+    # separately (ref :527-542) — a position reaching 40% only when
+    # its start and end counts are combined does NOT qualify; a
+    # position qualifying as both appears twice in the candidate list
+    col_starts: dict[int, int] = {}
+    col_ends: dict[int, int] = {}
     for positions in positions_per_line:
         for start, end in positions:
-            counts[start] = counts.get(start, 0) + 1
-            counts[end] = counts.get(end, 0) + 1
+            col_starts[start] = col_starts.get(start, 0) + 1
+            col_ends[end] = col_ends.get(end, 0) + 1
     threshold = len(positions_per_line) * 0.4
-    candidates = sorted(pos for pos, n in counts.items() if n >= threshold)
+    candidates = sorted(
+        [pos for pos, n in col_starts.items() if n >= threshold]
+        + [pos for pos, n in col_ends.items() if n >= threshold]
+    )
     boundaries: list[int] = []
     current = None
     for pos in candidates:

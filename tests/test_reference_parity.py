@@ -119,6 +119,47 @@ def test_clean_response_text_matches_reference(ref_tp, corpus_texts):
         assert clean_response_text(t) == ref_clean(t), t[:80]
 
 
+class _ImageType:
+    def __init__(self, value: str):
+        self.value = value
+
+
+def test_cleanup_matches_reference_per_class(ref_tp):
+    """F1 general pipeline + per-class F3-F7 fixes byte-equal to the
+    executed ``post_process_text`` for every span of the corpus.
+
+    The 'document' comparison runs against the general pipeline only:
+    our 'content' class additionally applies the F2 word-correction
+    dictionary (ref :601-709 ``_apply_general_text_corrections``),
+    which — like the organize family — the reference DEFINES but never
+    calls; SURVEY §2 maps it into the cleanup stage deliberately."""
+    from smartglass_ocr_spark.corpus import generate_docs
+    from smartglass_ocr_spark.rules.cleanup import clean_for_class, general_cleanup
+
+    checked = 0
+    for d in generate_docs(150, seed=31):
+        for s in d["spans"]:
+            t = s["text"]
+            if not t:
+                continue
+            checked += 1
+            assert general_cleanup(t).strip() == ref_tp.post_process_text(
+                t, _ImageType("document")
+            ), t[:80]
+            for klass in ("receipt", "id_card", "form", "table"):
+                assert clean_for_class(klass, t) == ref_tp.post_process_text(
+                    t, _ImageType(klass)
+                ), (klass, t[:80])
+    assert checked > 1500
+
+
+def test_detect_language_matches_reference(ref_tp, corpus_texts):
+    from smartglass_ocr_spark.rules.langdetect import detect_language
+
+    for t in corpus_texts:
+        assert detect_language(t) == ref_tp.detect_language(t), t[:80]
+
+
 def test_summary_and_insights_match_reference(ref_tp, corpus_texts):
     from smartglass_ocr_spark.rules.summarize import (
         extract_key_insights,
