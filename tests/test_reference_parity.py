@@ -169,3 +169,70 @@ def test_summary_and_insights_match_reference(ref_tp, corpus_texts):
     for t in corpus_texts:
         assert generate_summary(t) == ref_tp.generate_summary(t), t[:80]
         assert extract_key_insights(t) == ref_tp.extract_key_insights(t), t[:80]
+
+
+def _flatten_ref_extraction(kind: str, ref: dict | None) -> dict:
+    """FIXTURES.md §3 flattening of the reference's nested extraction
+    output: receipt items -> item_N_{name,quantity,price} +
+    items_count; table -> headers '|'-joined, n_rows, row_N =
+    values '|'-joined in header order; scalars stringified."""
+    out: dict[str, str] = {}
+    ref = ref or {}
+    if kind == "table":
+        headers = ref.get("headers") or []
+        rows = ref.get("rows") or []
+        if headers:
+            out["headers"] = "|".join(headers)
+            out["n_rows"] = str(len(rows))
+            for i, row in enumerate(rows):
+                out[f"row_{i}"] = "|".join(str(row.get(h, "")) for h in headers)
+        return out
+    for k, v in ref.items():
+        if k == "items" and isinstance(v, list):
+            for i, item in enumerate(v):
+                for kk in ("name", "quantity", "price"):
+                    if kk in item:
+                        out[f"item_{i}_{kk}"] = str(item[kk])
+            out["items_count"] = str(len(v))
+        else:
+            out[k] = str(v)
+    return out
+
+
+def test_extraction_matches_reference(ref_tp):
+    """E2/E3/E5-E6 byte-equal (modulo the documented flattening) to
+    the executed reference extractors over every special-class span of
+    the corpus. E4 (form) is compared where our documented intent-fix
+    of the reference's always-false punctuation guard cannot fire."""
+    from lib.information_extraction import InformationExtractor
+
+    from smartglass_ocr_spark.corpus import generate_docs
+    from smartglass_ocr_spark.rules.extract import extract_structured
+
+    ie = InformationExtractor()
+    ref_fns = {
+        "receipt": ie.extract_receipt_info,
+        "id_card": ie.extract_id_card_info,
+        "form": ie.extract_form_info,
+        "table": ie.extract_table_info,
+    }
+    checked = 0
+    for d in generate_docs(120, seed=41):
+        for s in d["spans"]:
+            t = s["text"]
+            if not t or s["kind"] not in ref_fns:
+                continue
+            checked += 1
+            want = _flatten_ref_extraction(s["kind"], ref_fns[s["kind"]](t))
+            got = extract_structured(s["kind"], t)
+            if s["kind"] == "form":
+                # the reference's line-pair guard `^[:\-,.;]*` matches
+                # the empty string, so its line loop NEVER emits —
+                # executed ref output is the special-pattern fields
+                # only. Our documented intent-fix keeps the line pairs;
+                # everything the reference produces must still appear
+                # identically in our output.
+                assert set(want.items()) <= set(got.items()), (t[:80], want, got)
+            else:
+                assert got == want, (s["kind"], t[:80], want, got)
+    assert checked > 100
