@@ -236,3 +236,12 @@ def test_extraction_matches_reference(ref_tp):
             else:
                 assert got == want, (s["kind"], t[:80], want, got)
     assert checked > 100
+
+
+def test_confidence_bands_match_reference(ref_tp):
+    from lib.information_extraction import _format_confidence_level
+
+    from smartglass_ocr_spark.rules.extract import confidence_level
+
+    for c in range(0, 101):
+        assert confidence_level(float(c)) == _format_confidence_level(c), c
