@@ -122,7 +122,25 @@ def test_lsh_topk_recall(embeddings):
     assert 0 in approx and 200 in approx
     # recall@10 of a 4-bit single probe on 200 gaussian vectors: expect
     # a loose but nonzero overlap
-    assert len(set(exact) & set(approx)) >= 2
+    single = len(set(exact) & set(approx))
+    assert single >= 2
+
+    # multi-probe: widening to the 4 lowest-margin flipped buckets
+    # must be a superset search — recall monotonically non-decreasing,
+    # and at nprobe=2^bits (all buckets) it equals brute force
+    from smartglass_ocr_spark.ops.similarity import probe_buckets
+
+    assert probe_buckets(q, 4, 1) == probe_buckets(q, 4, 5)[:1]
+    multi = [
+        r["vec_id"]
+        for r in lsh_bucketed_topk(embeddings, q, k=10, bits=4, nprobe=4).collect()
+    ]
+    assert len(set(exact) & set(multi)) >= single
+    full = [
+        r["vec_id"]
+        for r in lsh_bucketed_topk(embeddings, q, k=10, bits=4, nprobe=16).collect()
+    ]
+    assert full == exact
 
 
 def test_embedding_near_dup_pairs(embeddings):
