@@ -38,6 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
         "doc_id",
         F.size("spans").alias("n_spans"),
         F.md5(F.to_json("spans")).alias("spans_md5"),
+        # F8 reconstruction output, fingerprinted
+        F.md5(F.coalesce("formatted_text", F.lit(""))).alias("formatted_md5"),
         "lang",
         "structure",
         "summary",

@@ -336,6 +336,38 @@ def run_pipeline_fused(span_rows: DataFrame,
     return fused_doc_stage(reassemble_raw(span_rows, two_phase=two_phase))
 
 
+def with_organized_text(pipeline_out: DataFrame) -> DataFrame:
+    """Opt-in ``organize_text`` stage (the reference's dead-code
+    ``_enhance_text_organization`` family, rules/format.py): adds an
+    ``organized_text`` column keyed by each doc's dominant special
+    block class. NOT part of the golden path — the reference never
+    runs it — but exposed for users who want the per-class line
+    machines applied at scale. One Arrow crossing, off the equality
+    path (same pattern as :func:`with_markdown`)."""
+
+    def run(batches):
+        from smartglass_ocr_spark.rules.format import organize_text
+
+        special = ("id_card", "receipt", "form", "table")
+        for pdf in batches:
+            organized = []
+            for row in pdf.to_dict("records"):
+                hist = row.get("block_class_hist") or {}
+                dominant = max(
+                    special, key=lambda c: (hist.get(c, 0), -special.index(c))
+                )
+                cls = dominant if hist.get(dominant, 0) else "content"
+                organized.append(organize_text(row.get("formatted_text") or "", cls))
+            pdf = pdf.copy()
+            pdf["organized_text"] = organized
+            yield pdf
+
+    schema = StructType(
+        pipeline_out.schema.fields + [StructField("organized_text", StringType())]
+    )
+    return pipeline_out.mapInPandas(run, schema)
+
+
 def with_markdown(pipeline_out: DataFrame) -> DataFrame:
     """Adds the F14 rendered-report column (rules.markdown) to a
     pipeline output frame — one Arrow crossing, off the equality

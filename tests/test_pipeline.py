@@ -201,3 +201,20 @@ def test_fused_two_phase_mega_doc(spark):
     assert single.keys() == two.keys()
     for k in single:
         assert single[k].asDict(recursive=True) == two[k].asDict(recursive=True)
+
+
+def test_with_organized_text_stage(spark):
+    """Opt-in organize stage: one column appended, values equal the
+    per-doc Python machine keyed by the dominant special class."""
+    from smartglass_ocr_spark.pipeline import explode_spans, run_pipeline_fused, with_organized_text
+    from smartglass_ocr_spark.rules.format import organize_text
+
+    df = docs_to_df(spark, generate_docs(n_docs=25, seed=9))
+    out = with_organized_text(run_pipeline_fused(explode_spans(df))).collect()
+    assert len(out) == 25
+    special = ("id_card", "receipt", "form", "table")
+    for r in out:
+        hist = dict(r["block_class_hist"] or {})
+        dominant = max(special, key=lambda c: (hist.get(c, 0), -special.index(c)))
+        cls = dominant if hist.get(dominant, 0) else "content"
+        assert r["organized_text"] == organize_text(r["formatted_text"] or "", cls)
