@@ -24,8 +24,15 @@ _FORMULA_RX = re.compile(r"[=+\-*/^]|sqrt|sin|cos|tan|log")
 def detect_structure(text: str) -> str:
     bullets = len(_BULLET_RX.findall(text))
     numbered = len(_NUMBERED_RX.findall(text))
-    table_rows = len(_TABLE_ROW_RX.findall(text))
-    form_fields = len(_FORM_FIELD_RX.findall(text))
+    # exact-semantics shortcuts: the table pattern requires two literal
+    # '|' and the form pattern a literal ':', so texts without them
+    # count 0 by construction. Without the check, `[\w\s]+` backtracks
+    # quadratically over long punctuation-free runs (a 0.5 MB
+    # pipe-free mega-doc took ~40 s per call; the reference's
+    # identical regexes at :1225-1226 share the pathology — same
+    # counts, linear time here)
+    table_rows = len(_TABLE_ROW_RX.findall(text)) if "|" in text else 0
+    form_fields = len(_FORM_FIELD_RX.findall(text)) if ":" in text else 0
     headers = len(_HEADER_RX.findall(text))
     paragraphs = len(_PARAGRAPH_RX.findall(text))
     formulas = len(_FORMULA_RX.findall(text))
