@@ -257,3 +257,31 @@ def test_clean_response_text():
     # backslash removal joins the surrounding chars (ref :425)
     assert clean_response_text("a\n\nb\tc\r d\\e  f") == "a b c de f"
     assert clean_response_text("  padded  ") == "padded"
+
+
+def test_mega_doc_metadata_is_linear():
+    """Perf pin for the r2 quadratic-regex fix: a 20k-span (~1 MB)
+    doc of any adversarial shape must process in seconds, not minutes
+    (pre-fix, punctuation-free text took ~350 s at this size via
+    detect_structure backtracking). Generous bound to stay robust on
+    a noisy host while still catching any O(n^2) reintroduction."""
+    import time
+
+    from smartglass_ocr_spark.golden import process_document
+
+    shapes = {
+        "punctfree": lambda i: "alpha beta gamma delta epsilon zeta " + str(i),
+        "pipes": lambda i: f"name{i} | qty{i} | price{i}",
+        "colons": lambda i: f"field{i}: value number {i}",
+    }
+    for name, fn in shapes.items():
+        doc = {
+            "doc_id": "m",
+            "spans": [
+                {"kind": "para", "text": fn(i), "media_ref": None, "offset": i * 7}
+                for i in range(20_000)
+            ],
+        }
+        t0 = time.perf_counter()
+        process_document(doc)
+        assert time.perf_counter() - t0 < 30, name
