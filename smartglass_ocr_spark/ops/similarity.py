@@ -217,6 +217,52 @@ def lsh_bucketed_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the LSH index: the table rewritten ONCE with the
+    bucket as a parquet partition column. Probes then read only the
+    ``nprobe`` matching directories — at 10^12 rows a probe touches
+    ~nprobe/2^bits of the data via partition PRUNING, no scan-and-
+    filter. One bucket-clustered shuffle at build time; amortized
+    across every subsequent query."""
+    (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            _bucket_udf(bits)(F.col(vec_col)).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Query a materialized LSH index (:func:`write_lsh_index`): the
+    bucket predicate is a PartitionFilter — Spark lists only the
+    probed directories (pinned in tests), so the scan cost is the
+    probed buckets' rows, independent of table size."""
+    probes = probe_buckets(query, bits, nprobe)
+    idx = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    scored = idx.select(
+        "vec_id", F.round(_cosine_vs_query(query)(F.col("v")), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
 def _assign_udf(centroids: list[list[float]]):
     """pandas UDF: nearest-centroid id per row (cosine argmax, ties to
     the lowest cid — np.argmax keeps the first maximum)."""
@@ -318,19 +364,77 @@ def ivf_topk(
     if assigned is None:
         assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col)
 
+    probe_cids = nearest_centroids(query, centroids, nprobe)
+    scored = assigned.filter(F.col("cid").isin(probe_cids)).select(
+        "vec_id", F.round(_cosine_vs_query(query)(F.col("v")), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def nearest_centroids(
+    query: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query by cosine,
+    deterministic tie-break on id (driver-side, tiny)."""
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
 
     def qcos(c: list[float]) -> float:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         return sum(a * b for a, b in zip(query, c)) / (qn * cn)
 
-    probe_cids = [
+    return [
         cid for cid, _ in sorted(
             ((i, qcos(c)) for i, c in enumerate(centroids)),
             key=lambda t: (-t[1], t[0]),
         )[:nprobe]
     ]
-    scored = assigned.filter(F.col("cid").isin(probe_cids)).select(
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index: vectors rewritten ONCE partitioned
+    by their coarse-quantizer cell, centroids stored beside them.
+    Probes then read only the ``nprobe`` nearest cells via partition
+    pruning (pinned in tests) — the build shuffle is amortized across
+    every query."""
+    centroids = ivf_build_centroids(
+        embeddings, k=n_centroids, vec_col=vec_col, id_col=id_col
+    )
+    assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col)
+    (
+        assigned.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/vectors")
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a materialized IVF index (:func:`write_ivf_index`): only
+    the centroid table (k tiny rows) reaches the driver; the cid
+    predicate prunes the vector partitions."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    centroids = [list(r["c"]) for r in cent_rows]
+    probe_cids = nearest_centroids(query, centroids, nprobe)
+    idx = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = idx.select(
         "vec_id", F.round(_cosine_vs_query(query)(F.col("v")), 6).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)

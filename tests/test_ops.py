@@ -190,3 +190,39 @@ def test_ivf_topk_recall(embeddings):
     assert 3 in approx and approx[0] == 3
     # determinism: same build twice -> same centroids
     assert cents == ivf_build_centroids(embeddings, k=8, iters=2)
+
+
+def test_materialized_indexes_prune_partitions(embeddings, tmp_path):
+    """write_lsh_index / write_ivf_index + their probe readers: same
+    results as the in-query operators, and the probe plan carries the
+    bucket/cid predicate as a PartitionFilter (directory pruning —
+    the 10^12-row scale path, not scan-and-filter)."""
+    from smartglass_ocr_spark.ops.similarity import (
+        ivf_build_centroids,
+        ivf_index_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+        lsh_index_topk,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    spark = embeddings.sparkSession
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    lsh_path = str(tmp_path / "lsh_idx")
+    write_lsh_index(embeddings, lsh_path, bits=4)
+    got = lsh_index_topk(spark, lsh_path, q, k=10, bits=4, nprobe=2)
+    want = lsh_bucketed_topk(embeddings, q, k=10, bits=4, nprobe=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan, plan
+
+    ivf_path = str(tmp_path / "ivf_idx")
+    write_ivf_index(embeddings, ivf_path, n_centroids=8)
+    got = ivf_index_topk(spark, ivf_path, q, k=10, nprobe=4)
+    cents = ivf_build_centroids(embeddings, k=8)
+    want = ivf_topk(embeddings, q, k=10, nprobe=4, centroids=cents)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cid" in plan, plan
