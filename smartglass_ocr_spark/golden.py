@@ -13,7 +13,7 @@ span-sequence equality (kind, text, media_ref, order) — BASELINE.json
 from __future__ import annotations
 
 from smartglass_ocr_spark.rules.classify import MEDIA_KINDS, classify_block, strip_html
-from smartglass_ocr_spark.rules.cleanup import clean_for_class, fix_indonesian_text
+from smartglass_ocr_spark.rules.cleanup import clean_for_class
 from smartglass_ocr_spark.rules.confidence import status_for, weighted_confidence
 from smartglass_ocr_spark.rules.extract import confidence_level, extract_structured
 from smartglass_ocr_spark.rules.format import format_text
@@ -68,11 +68,13 @@ def process_document(doc: dict) -> dict:
         s["text"] for s in out_spans if s["text"]
     )
 
-    # Indonesian doc-level correction pass (ref lib/smartglass_ocr.py:
-    # 596-600: gated on the correction block's len>10 and detected
-    # language; runs between post-processing and formatting)
-    if len(doc_text) > 10 and detect_language(doc_text) == "id":
-        doc_text = fix_indonesian_text(doc_text)
+    # NOT wired: the reference's Indonesian pass (lib/smartglass_ocr.py
+    # :596-600) is gated on detect_language(text) == 'ind', a value
+    # its detect_language (lib/text_processing.py:1782-1857) can never
+    # return — like the organize family, `_fix_indonesian_text` is
+    # dead code in the executed reference. It is implemented
+    # (rules/cleanup.fix_indonesian_text) and exposed opt-in only, so
+    # the golden path stays byte-equal to the reference's execution.
 
     # F8 reconstruction stage (ref lib/smartglass_ocr.py:602-604):
     # structure is detected on the INPUT text for dispatch

@@ -105,10 +105,10 @@ def plane_matrix(bits: int, dim: int) -> np.ndarray:
 
 
 def lsh_bucket_py(vec: list[float], bits: int) -> int:
-    """Driver-side bucket of one vector (query-side of a probe)."""
-    v = np.asarray(vec, dtype=np.float64)
-    signs = plane_matrix(bits, v.shape[0]) @ v > 0
-    return int(np.sum(signs * (1 << np.arange(bits))))
+    """Driver-side bucket of one vector (query-side of a probe) —
+    defined as the first probe bucket so the sign convention has a
+    single source of truth with :func:`probe_buckets`."""
+    return probe_buckets(vec, bits, 1)[0]
 
 
 def _bucket_udf(bits: int):

@@ -77,7 +77,6 @@ def _doc_meta_udf(doc_text: pd.Series, class_hist: pd.Series) -> pd.DataFrame:
     # mirrors golden.process_document's doc-metadata block exactly
     # (the fused pipeline runs the golden spec itself; this staged twin
     # must stay in lockstep — tests assert bit-equality of the two)
-    from smartglass_ocr_spark.rules.cleanup import fix_indonesian_text
     from smartglass_ocr_spark.rules.confidence import status_for, weighted_confidence
     from smartglass_ocr_spark.rules.extract import confidence_level, extract_structured
     from smartglass_ocr_spark.rules.format import format_text
@@ -90,8 +89,6 @@ def _doc_meta_udf(doc_text: pd.Series, class_hist: pd.Series) -> pd.DataFrame:
     for text, hist in zip(doc_text, class_hist):
         text = text or ""
         hist = hist or {}
-        if len(text) > 10 and detect_language(text) == "id":
-            text = fix_indonesian_text(text)
         formatted = format_text(text)
         dominant = max(special, key=lambda c: (hist.get(c, 0), -special.index(c)))
         extract_class = dominant if hist.get(dominant, 0) else "content"

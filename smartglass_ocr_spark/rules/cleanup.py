@@ -491,11 +491,12 @@ def clean_for_class(block_class: str, text: str) -> str:
 
 # --------------------------------------------------------------------
 # Indonesian doc-level correction pass (ref lib/smartglass_ocr.py:
-# 663-780 `_fix_indonesian_text`) — applied to the assembled document
-# text when the detected language is Indonesian, mirroring the main
-# flow's gate at ref :596-600 (the reference detects on the pre-
-# post-processed text; we detect on the assembled doc text, since our
-# post-process analogue runs per span — documented deviation).
+# 663-780 `_fix_indonesian_text`). DEAD CODE in the executed
+# reference: the gate at ref :596-600 compares detect_language(text)
+# to 'ind', a value the reference's detect_language
+# (lib/text_processing.py:1782-1857) can never return. Implemented
+# for behavior-complete parity — like the organize family — and
+# exposed as an explicit opt-in only; the golden path does not run it.
 # --------------------------------------------------------------------
 
 # ref :677-715 verbatim, including quirks: 'Tgl' -> 'Tgl.' fires on
@@ -562,6 +563,9 @@ def fix_indonesian_text(text: str) -> str:
             formatted = " ".join(digits[i : i + 4] for i in range(0, 16, 4))
             text = _NIK_SUB_RX.sub(f"NIK: {formatted}", text)
 
+    # quirk kept (ref :736-755): str.replace rewrites EVERY substring
+    # occurrence of a matched date, so '11/2/95' containing a match
+    # for '1/2/95' gets corrupted — reference behavior
     for m in list(_INDO_DATE_RX.finditer(text)):
         day, month, year = m.groups()
         d, mo, y = int(day), int(month), int(year)
@@ -574,7 +578,12 @@ def fix_indonesian_text(text: str) -> str:
     m = _INDO_ADDRESS_RX.search(text)
     if m:
         address = re.sub(r"\s+", " ", m.group(1).strip())
-        text = _INDO_ADDRESS_RX.sub(f"Alamat: {address}", text)
+        # callable replacement: the reference interpolates the OCR'd
+        # address into the replacement STRING (ref :729), which raises
+        # re.error on a backslash in the address and expands literal
+        # group references — deviation: same output whenever the
+        # reference wouldn't crash/corrupt
+        text = _INDO_ADDRESS_RX.sub(lambda _m: f"Alamat: {address}", text)
 
     for rx in _INDO_FIELD_RXS:
         text = rx.sub(r"\1: \2", text)

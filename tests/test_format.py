@@ -143,19 +143,12 @@ def test_format_dispatch_covers_every_formatter_on_corpus():
     docs = generate_docs(400, seed=11)
     outs = golden_outputs(docs)
     seen = Counter()
-    from smartglass_ocr_spark.rules.cleanup import fix_indonesian_text
-    from smartglass_ocr_spark.rules.langdetect import detect_language
-
     for doc, out in zip(docs, outs):
         doc_text = "\n\n".join(
             s["text"] for s in out["spans"] if s["text"]
         )
-        # golden's pre-format pass (Indonesian correction) precedes
-        # the dispatch — mirror it here
-        if len(doc_text) > 10 and detect_language(doc_text) == "id":
-            doc_text = fix_indonesian_text(doc_text)
         seen[detect_structure(doc_text)] += 1
-        # golden's formatted_text IS format_text of the doc text
+        # golden's formatted_text IS format_text of the joined doc text
         assert out["formatted_text"] == format_text(doc_text), doc["doc_id"]
     # the corpus must exercise the main formatter families
     for structure in (
@@ -273,6 +266,11 @@ def test_mega_doc_metadata_is_linear():
         "punctfree": lambda i: "alpha beta gamma delta epsilon zeta " + str(i),
         "pipes": lambda i: f"name{i} | qty{i} | price{i}",
         "colons": lambda i: f"field{i}: value number {i}",
+        # one colon then punct-free: defeated the r2 literal-prefilter
+        # (the linear counter handles it)
+        "mixed": lambda i: (
+            "Label: v" if i == 0 else "alpha beta gamma delta " + str(i)
+        ),
     }
     for name, fn in shapes.items():
         doc = {

@@ -161,3 +161,18 @@ def test_fix_indonesian_total(text):
     from smartglass_ocr_spark.rules.cleanup import fix_indonesian_text
 
     assert isinstance(fix_indonesian_text(text), str)
+
+
+@given(text=st.text(alphabet="ab C1_ \n|:.,-", max_size=80))
+@settings(max_examples=400, deadline=None)
+def test_linear_structure_counts_equal_regex(text):
+    """The linear table/form counters must agree exactly with the
+    reference's backtracking regexes on arbitrary input."""
+    from smartglass_ocr_spark.rules.structure import (
+        _FORM_FIELD_RX,
+        _TABLE_ROW_RX,
+        _table_and_form_counts,
+    )
+
+    want = (len(_TABLE_ROW_RX.findall(text)), len(_FORM_FIELD_RX.findall(text)))
+    assert _table_and_form_counts(text) == want
