@@ -380,6 +380,12 @@ def _q_w6_bullet_fold(spark, sf_dir):
     return bullet_fold(_t(spark, sf_dir, "documents"))
 
 
+def _q_asof_join(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import asof_join
+
+    return asof_join(_t(spark, sf_dir, "events"))
+
+
 def _q_sample_split(spark, sf_dir):
     from smartglass_ocr_spark.ops.sampling import hash_split
 
@@ -482,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bernoulli": _q_sample_bernoulli,
         "stratified_sample": _q_stratified_sample,
         "length_buckets": _q_length_buckets,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -999,6 +1006,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, lang FROM ranked WHERE rk <= 20
+        """,
+        "asof_join": """
+            WITH a AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ), b AS (
+                SELECT user_id, ts, max(event_id) AS right_event_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            )
+            SELECT a.user_id,
+                   a.event_id AS left_event_id,
+                   epoch_us(a.ts) AS left_ts_us,
+                   coalesce(b.right_event_id, -1) AS right_event_id,
+                   coalesce(epoch_us(b.ts), -1) AS right_ts_us,
+                   coalesce(epoch_us(a.ts) - epoch_us(b.ts), -1) AS gap_us
+            FROM a ASOF LEFT JOIN b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
         "length_buckets": r"""
             WITH t AS (

@@ -284,6 +284,58 @@ def bullet_fold(documents: DataFrame) -> DataFrame:
     )
 
 
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """As-of join — the classic operator Spark lacks natively (driver
+    brief's custom-operator family): for every ``left_type`` event,
+    the most recent ``right_type`` event of the same user with
+    ``ts <= left.ts`` (ties on ts resolved to the highest event_id).
+
+    Shape: NOT a range join (no inequality-join row blowup) — both
+    sides union into one stream tagged by side, ONE hash exchange on
+    user_id, and a running ``last(right_struct, ignorenulls)`` window
+    carries the newest right event forward onto each left row. Cost is
+    one shuffle + one in-partition sort regardless of time-gap skew;
+    the DuckDB twin is a native ASOF LEFT JOIN. Missing matches emit
+    -1 sentinels (hash-stable)."""
+    a = events.filter(F.col("event_type") == left_type).select(
+        "user_id", F.lit(1).alias("is_left"), "event_id", "ts"
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        "user_id", F.lit(0).alias("is_left"), "event_id", "ts"
+    )
+    # right rows sort before left rows at equal ts (so <= matches),
+    # and among equal-ts right rows the carry-forward keeps the last
+    # one in order = the max event_id
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = a.unionByName(b).withColumn(
+        "_r",
+        F.last(
+            F.when(
+                F.col("is_left") == 0, F.struct("event_id", "ts")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    right_us = _micros(F.col("_r.ts"))
+    left_us = _micros("ts")
+    return carried.filter(F.col("is_left") == 1).select(
+        "user_id",
+        F.col("event_id").alias("left_event_id"),
+        left_us.alias("left_ts_us"),
+        F.coalesce(F.col("_r.event_id"), F.lit(-1)).alias("right_event_id"),
+        F.coalesce(right_us, F.lit(-1)).alias("right_ts_us"),
+        F.coalesce(left_us - right_us, F.lit(-1)).alias("gap_us"),
+    )
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling-window counts per event_type (batch form of the
     streaming rollup; window start emitted as epoch seconds so the

@@ -226,3 +226,34 @@ def test_materialized_indexes_prune_partitions(embeddings, tmp_path):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cid" in plan, plan
+
+
+def test_asof_join_semantics(spark):
+    from smartglass_ocr_spark.ops.windows import asof_join
+
+    rows = [
+        # user 1: clicks at t=10, t=20 (two at 20 -> max event_id wins),
+        # purchases at t=5 (no prior click), t=20 (ties included), t=30
+        (1, 1, "click", "2020-01-01 00:00:10", 0.0),
+        (2, 1, "click", "2020-01-01 00:00:20", 0.0),
+        (3, 1, "click", "2020-01-01 00:00:20", 0.0),
+        (10, 1, "purchase", "2020-01-01 00:00:05", 1.0),
+        (11, 1, "purchase", "2020-01-01 00:00:20", 1.0),
+        (12, 1, "purchase", "2020-01-01 00:00:30", 1.0),
+        # user 2: purchase with no clicks at all
+        (20, 2, "purchase", "2020-01-01 00:01:00", 1.0),
+    ]
+    events = spark.createDataFrame(
+        [(e, u, t, ts, v) for e, u, t, ts, v in rows],
+        "event_id long, user_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["left_event_id"]: r for r in asof_join(events).collect()}
+    assert out[10]["right_event_id"] == -1          # before any click
+    assert out[11]["right_event_id"] == 3           # equal ts: max id
+    assert out[11]["gap_us"] == 0
+    assert out[12]["right_event_id"] == 3           # latest prior
+    assert out[20]["right_event_id"] == -1          # user without clicks
+    # single hash exchange (union + window share the user_id shuffle)
+    plan = asof_join(events)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
