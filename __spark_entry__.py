@@ -386,6 +386,12 @@ def _q_asof_join(spark, sf_dir):
     return asof_join(_t(spark, sf_dir, "events"))
 
 
+def _q_range_join(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import range_join_buckets
+
+    return range_join_buckets(_t(spark, sf_dir, "events"))
+
+
 def _q_sample_split(spark, sf_dir):
     from smartglass_ocr_spark.ops.sampling import hash_split
 
@@ -489,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "length_buckets": _q_length_buckets,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }
 
 
@@ -1024,6 +1031,18 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(epoch_us(a.ts) - epoch_us(b.ts), -1) AS gap_us
             FROM a ASOF LEFT JOIN b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "range_join": """
+            WITH camp AS (
+                SELECT CAST(i AS INT) AS campaign_id,
+                       1704067200000000 + i * 30 * 3600000000 AS start_us,
+                       1704067200000000 + i * 30 * 3600000000
+                           + ((i % 3) + 1) * 12 * 3600000000 AS end_us
+                FROM (SELECT unnest(generate_series(0, 23)) AS i)
+            )
+            SELECT e.event_id, c.campaign_id
+            FROM events e JOIN camp c
+              ON epoch_us(e.ts) >= c.start_us AND epoch_us(e.ts) < c.end_us
         """,
         "length_buckets": r"""
             WITH t AS (

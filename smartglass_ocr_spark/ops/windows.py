@@ -336,6 +336,68 @@ def asof_join(
     )
 
 
+_US_PER_HOUR = 3_600 * 1_000_000
+_CAMPAIGN_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def campaign_windows(spark, n: int = 24):
+    """Deterministic overlapping time intervals for the range join:
+    campaign i starts at base + i*30h and lasts (i%3 + 1)*12h —
+    variable lengths, adjacent overlaps (mirrored in the DuckDB
+    oracle as a generate_series CTE)."""
+    i = F.col("id")
+    start = F.lit(_CAMPAIGN_BASE_US) + i * 30 * _US_PER_HOUR
+    return spark.range(n).select(
+        i.cast("int").alias("campaign_id"),
+        start.alias("start_us"),
+        (start + ((i % 3) + 1) * 12 * _US_PER_HOUR).alias("end_us"),
+    )
+
+
+def range_join_buckets(
+    events: DataFrame, n_campaigns: int = 24, bucket_hours: int = 12
+) -> DataFrame:
+    """Range (interval containment) join — the second operator family
+    Spark lacks natively (driver brief): every (event, campaign) pair
+    with start_us <= ts < end_us.
+
+    Naive Spark turns a pure inequality join into
+    BroadcastNestedLoopJoin — O(events × campaigns) comparisons. The
+    scale shape here is BUCKETED CANDIDATES: each interval explodes to
+    the coarse time buckets it overlaps, each event maps to its single
+    bucket, and an ordinary EQUI-join on the bucket bounds candidates
+    to same-bucket pairs before the exact filter. Each pair arises in
+    exactly one bucket (the event's), so no dedup is needed. Works
+    identically at 10^6 intervals (sort-merge on bucket) — the plan is
+    pinned to contain no nested-loop/cartesian node."""
+    camp = campaign_windows(events.sparkSession, n_campaigns)
+    width = bucket_hours * _US_PER_HOUR
+    camp_b = camp.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_us") / width),
+                # end is exclusive: the last contained instant is end-1
+                F.floor((F.col("end_us") - 1) / width),
+            )
+        ),
+    )
+    us = _micros("ts")
+    ev = events.select(
+        "event_id",
+        us.alias("ts_us"),
+        F.floor(us / width).alias("bucket"),
+    )
+    return (
+        ev.join(camp_b, "bucket")
+        .filter(
+            (F.col("ts_us") >= F.col("start_us"))
+            & (F.col("ts_us") < F.col("end_us"))
+        )
+        .select("event_id", "campaign_id")
+    )
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling-window counts per event_type (batch form of the
     streaming rollup; window start emitted as epoch seconds so the

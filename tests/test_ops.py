@@ -257,3 +257,29 @@ def test_asof_join_semantics(spark):
     plan = asof_join(events)._jdf.queryExecution().executedPlan().toString()
     import re as _re
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_range_join_no_nested_loop(spark):
+    """The bucketed range join must plan as an EQUI join on the bucket
+    (hash/broadcast) with the interval check as a post-filter — never
+    a nested-loop/cartesian over the pure inequality."""
+    from smartglass_ocr_spark.ops.windows import campaign_windows, range_join_buckets
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    df = range_join_buckets(events)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan and "bucket" in plan
+    # containment semantics: every matched event inside its window;
+    # count equals the naive inequality join
+    from pyspark.sql import functions as F
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    camp = campaign_windows(spark)
+    naive = (
+        events.select("event_id", us.alias("u"))
+        .crossJoin(camp)
+        .filter((F.col("u") >= F.col("start_us")) & (F.col("u") < F.col("end_us")))
+        .count()
+    )
+    assert df.count() == naive
