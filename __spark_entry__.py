@@ -392,6 +392,18 @@ def _q_range_join(spark, sf_dir):
     return range_join_buckets(_t(spark, sf_dir, "events"))
 
 
+def _q_hierarchical_rollup(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import hierarchical_rollup
+
+    return hierarchical_rollup(_t(spark, sf_dir, "events"))
+
+
+def _q_value_percentiles(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import value_percentiles
+
+    return value_percentiles(_t(spark, sf_dir, "events"))
+
+
 def _q_sample_split(spark, sf_dir):
     from smartglass_ocr_spark.ops.sampling import hash_split
 
@@ -496,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _q_length_buckets,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "hierarchical_rollup": _q_hierarchical_rollup,
+        "value_percentiles": _q_value_percentiles,
     }
 
 
@@ -1043,6 +1057,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, c.campaign_id
             FROM events e JOIN camp c
               ON epoch_us(e.ts) >= c.start_us AND epoch_us(e.ts) < c.end_us
+        """,
+        # hierarchical CTEs mirror the engine's partial re-aggregation
+        # (hour from minute, day from hour) so fp summation follows
+        # the same tree on both sides
+        "hierarchical_rollup": """
+            WITH minute AS (
+                SELECT (epoch_us(ts) // 60000000) * 60 AS bucket_start_s,
+                       event_type, count(*) AS n, sum(value) AS sum_value
+                FROM events GROUP BY 1, 2
+            ), hour AS (
+                SELECT (bucket_start_s // 3600) * 3600 AS bucket_start_s,
+                       event_type, CAST(sum(n) AS BIGINT) AS n,
+                       sum(sum_value) AS sum_value
+                FROM minute GROUP BY 1, 2
+            ), day AS (
+                SELECT (bucket_start_s // 86400) * 86400 AS bucket_start_s,
+                       event_type, CAST(sum(n) AS BIGINT) AS n,
+                       sum(sum_value) AS sum_value
+                FROM hour GROUP BY 1, 2
+            )
+            SELECT 'minute' AS grain, bucket_start_s, event_type, n,
+                   round(sum_value, 2) AS total_value,
+                   round(round(sum_value, 2) / n, 4) AS avg_value FROM minute
+            UNION ALL
+            SELECT 'hour', bucket_start_s, event_type, n,
+                   round(sum_value, 2), round(round(sum_value, 2) / n, 4) FROM hour
+            UNION ALL
+            SELECT 'day', bucket_start_s, event_type, n,
+                   round(sum_value, 2), round(round(sum_value, 2) / n, 4) FROM day
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "length_buckets": r"""
             WITH t AS (

@@ -398,6 +398,66 @@ def range_join_buckets(
     )
 
 
+def hierarchical_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate (driver brief's rollup
+    family): minute / hour / day rollups per event_type in ONE output,
+    where each coarser level re-aggregates the FINER level's partial
+    aggregates (sum + count re-sum; avg derived at the end) — the
+    hour pass reads the minute rollup (~1/60th of the raw rows), the
+    day pass the hour rollup, never the raw table again. Output:
+    (grain, bucket_start_s, event_type, n, total_value, avg_value)."""
+    us = _micros("ts")
+
+    def lift(df: DataFrame, seconds: int, grain: str) -> DataFrame:
+        return (
+            df.groupBy(
+                (F.floor(F.col("bucket_start_s") / seconds) * seconds).alias(
+                    "bucket_start_s"
+                ),
+                "event_type",
+            )
+            .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+            .withColumn("grain", F.lit(grain))
+        )
+
+    minute = (
+        events.groupBy(
+            (F.floor(us / 60_000_000) * 60).alias("bucket_start_s"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .withColumn("grain", F.lit("minute"))
+    )
+    hour = lift(minute, 3600, "hour")
+    day = lift(hour, 86400, "day")
+    out = minute.unionByName(hour).unionByName(day)
+    total = F.round("sum_value", 2)
+    return out.select(
+        "grain",
+        "bucket_start_s",
+        "event_type",
+        "n",
+        total.alias("total_value"),
+        # derive avg from the ROUNDED total: the raw sums differ in
+        # the last ulp between engines (summation order), which flips
+        # a 4dp rounding on boundary values; the rounded totals are
+        # bit-identical, so the division is too
+        F.round(total / F.col("n"), 4).alias("avg_value"),
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact per-type value percentiles (p50/p90/p99) via Spark's
+    exact ``percentile`` aggregate — oracle twin is DuckDB
+    quantile_cont. One hash agg; at extreme scale swap in
+    approx_percentile (KLL-style sketch) at the same call site."""
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     """Tumbling-window counts per event_type (batch form of the
     streaming rollup; window start emitted as epoch seconds so the
