@@ -355,7 +355,10 @@ def campaign_windows(spark, n: int = 24):
 
 
 def range_join_buckets(
-    events: DataFrame, n_campaigns: int = 24, bucket_hours: int = 12
+    events: DataFrame,
+    intervals: DataFrame | None = None,
+    n_campaigns: int = 24,
+    bucket_hours: int = 12,
 ) -> DataFrame:
     """Range (interval containment) join — the second operator family
     Spark lacks natively (driver brief): every (event, campaign) pair
@@ -369,8 +372,16 @@ def range_join_buckets(
     to same-bucket pairs before the exact filter. Each pair arises in
     exactly one bucket (the event's), so no dedup is needed. Works
     identically at 10^6 intervals (sort-merge on bucket) — the plan is
-    pinned to contain no nested-loop/cartesian node."""
-    camp = campaign_windows(events.sparkSession, n_campaigns)
+    pinned to contain no nested-loop/cartesian node.
+
+    ``intervals``: any (campaign_id, start_us, end_us) frame — real
+    session/maintenance/campaign windows; defaults to the synthetic
+    :func:`campaign_windows` used by the driver-contract query."""
+    camp = (
+        intervals
+        if intervals is not None
+        else campaign_windows(events.sparkSession, n_campaigns)
+    )
     width = bucket_hours * _US_PER_HOUR
     camp_b = camp.withColumn(
         "bucket",
@@ -398,41 +409,28 @@ def range_join_buckets(
     )
 
 
-def hierarchical_rollup(events: DataFrame) -> DataFrame:
-    """Hypertable-style continuous aggregate (driver brief's rollup
-    family): minute / hour / day rollups per event_type in ONE output,
-    where each coarser level re-aggregates the FINER level's partial
-    aggregates (sum + count re-sum; avg derived at the end) — the
-    hour pass reads the minute rollup (~1/60th of the raw rows), the
-    day pass the hour rollup, never the raw table again. Output:
-    (grain, bucket_start_s, event_type, n, total_value, avg_value)."""
+def _rollup_minute(events: DataFrame) -> DataFrame:
     us = _micros("ts")
+    return events.groupBy(
+        (F.floor(us / 60_000_000) * 60).alias("bucket_start_s"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
 
-    def lift(df: DataFrame, seconds: int, grain: str) -> DataFrame:
-        return (
-            df.groupBy(
-                (F.floor(F.col("bucket_start_s") / seconds) * seconds).alias(
-                    "bucket_start_s"
-                ),
-                "event_type",
-            )
-            .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
-            .withColumn("grain", F.lit(grain))
-        )
 
-    minute = (
-        events.groupBy(
-            (F.floor(us / 60_000_000) * 60).alias("bucket_start_s"), "event_type"
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-        .withColumn("grain", F.lit("minute"))
-    )
-    hour = lift(minute, 3600, "hour")
-    day = lift(hour, 86400, "day")
-    out = minute.unionByName(hour).unionByName(day)
+def _rollup_lift(df: DataFrame, seconds: int) -> DataFrame:
+    """Re-aggregate the partial aggregates of a finer grain: counts
+    and sums re-sum exactly; avg is derived only at output time."""
+    return df.groupBy(
+        (F.floor(F.col("bucket_start_s") / seconds) * seconds).alias(
+            "bucket_start_s"
+        ),
+        "event_type",
+    ).agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+
+
+def _rollup_project(df: DataFrame, grain: str) -> DataFrame:
     total = F.round("sum_value", 2)
-    return out.select(
-        "grain",
+    return df.select(
+        F.lit(grain).alias("grain"),
         "bucket_start_s",
         "event_type",
         "n",
@@ -445,16 +443,74 @@ def hierarchical_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def hierarchical_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate (driver brief's rollup
+    family): minute / hour / day rollups per event_type in ONE output,
+    where each coarser level re-aggregates the FINER level's partial
+    aggregates (sum + count re-sum; avg derived at output). Output:
+    (grain, bucket_start_s, event_type, n, total_value, avg_value).
+
+    Single-plan caveat: the three union branches each contain the
+    minute aggregation subtree; whether Spark reuses that exchange at
+    runtime is AQE's call, so this form may scan the raw table up to
+    three times. The SCALE form is :func:`write_hierarchical_rollup`,
+    which materializes each grain and provably builds every coarser
+    grain from the finer files — one raw scan total (pinned in
+    tests). This in-query form is the oracle-checked correctness
+    twin."""
+    minute = _rollup_minute(events)
+    hour = _rollup_lift(minute, 3600)
+    day = _rollup_lift(hour, 86400)
+    return (
+        _rollup_project(minute, "minute")
+        .unionByName(_rollup_project(hour, "hour"))
+        .unionByName(_rollup_project(day, "day"))
+    )
+
+
+def write_hierarchical_rollup(events: DataFrame, path: str) -> None:
+    """Materialized continuous aggregate — the hypertable semantics at
+    scale: the minute rollup is written from ONE raw-table scan; the
+    hour grain is then built from the minute FILES and the day grain
+    from the hour files (each job's scan is the finer rollup,
+    ~1/60th the rows — pinned in tests). Incremental refresh at
+    production scale = partition-overwrite the touched buckets."""
+    spark = events.sparkSession
+    _rollup_minute(events).write.mode("overwrite").parquet(f"{path}/minute")
+    minute = spark.read.parquet(f"{path}/minute")
+    _rollup_lift(minute, 3600).write.mode("overwrite").parquet(f"{path}/hour")
+    hour = spark.read.parquet(f"{path}/hour")
+    _rollup_lift(hour, 86400).write.mode("overwrite").parquet(f"{path}/day")
+
+
+def read_hierarchical_rollup(spark, path: str) -> DataFrame:
+    """The unioned (grain, ...) view of a materialized rollup."""
+    return (
+        _rollup_project(spark.read.parquet(f"{path}/minute"), "minute")
+        .unionByName(_rollup_project(spark.read.parquet(f"{path}/hour"), "hour"))
+        .unionByName(_rollup_project(spark.read.parquet(f"{path}/day"), "day"))
+    )
+
+
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact per-type value percentiles (p50/p90/p99) via Spark's
     exact ``percentile`` aggregate — oracle twin is DuckDB
-    quantile_cont. One hash agg; at extreme scale swap in
-    approx_percentile (KLL-style sketch) at the same call site."""
-    return events.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-        F.count(F.lit(1)).alias("n"),
+    quantile_cont. ONE aggregation buffer per group (the array form
+    shares the value multiset across all three quantiles — three
+    separate percentile() calls would build and sort it three times);
+    at extreme scale swap in approx_percentile (KLL-style sketch) at
+    the same call site."""
+    ps = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        events.groupBy("event_type")
+        .agg(ps.alias("_ps"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.round(F.element_at("_ps", 1), 4).alias("p50"),
+            F.round(F.element_at("_ps", 2), 4).alias("p90"),
+            F.round(F.element_at("_ps", 3), 4).alias("p99"),
+            "n",
+        )
     )
 
 

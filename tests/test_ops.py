@@ -271,15 +271,48 @@ def test_range_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan and "bucket" in plan
-    # containment semantics: every matched event inside its window;
-    # count equals the naive inequality join
-    from pyspark.sql import functions as F
-    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    # containment semantics: count equals the naive inequality join
+    from smartglass_ocr_spark.ops.windows import _micros
+
     camp = campaign_windows(spark)
     naive = (
-        events.select("event_id", us.alias("u"))
+        events.select("event_id", _micros("ts").alias("u"))
         .crossJoin(camp)
         .filter((F.col("u") >= F.col("start_us")) & (F.col("u") < F.col("end_us")))
         .count()
     )
     assert df.count() == naive
+
+
+def test_materialized_rollup_builds_from_finer_grain(spark, tmp_path):
+    """The hypertable scale property: the materialized form scans the
+    raw table exactly once — the hour job's plan reads the minute
+    FILES, the day job's the hour files — and the unioned view equals
+    the in-query (oracle-checked) operator."""
+    from smartglass_ocr_spark.ops.windows import (
+        _rollup_lift,
+        hierarchical_rollup,
+        read_hierarchical_rollup,
+        write_hierarchical_rollup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    path = str(tmp_path / "rollup")
+    write_hierarchical_rollup(events, path)
+
+    # the lifted plan scans the finer rollup, never the raw table
+    hour_plan = (
+        _rollup_lift(spark.read.parquet(f"{path}/minute"), 3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # (paths are truncated in plan strings — the scan's ReadSchema is
+    # the discriminator: rollup columns, not the raw events schema)
+    assert "ReadSchema: struct<bucket_start_s:bigint" in hour_plan
+    assert "event_id" not in hour_plan and "events.parquet" not in hour_plan
+
+    key = ("grain", "bucket_start_s", "event_type")
+    got = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
+           for r in read_hierarchical_rollup(spark, path).collect()}
+    want = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
+            for r in hierarchical_rollup(events).collect()}
+    assert got == want
