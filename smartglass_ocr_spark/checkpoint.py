@@ -89,12 +89,19 @@ def ewma_metrics(
 
     Fold order is the monotonic ``run_seq`` the job records (NOT the
     run_id string — lexicographic run-id order breaks at 'run-10' vs
-    'run-2'); rows from a pre-``run_seq`` log fold first (seq 0)."""
+    'run-2'); rows from a pre-``run_seq`` log fold first (seq 0).
+    ``run_seq`` is derived as max+1 over the existing log, which
+    assumes a SINGLE WRITER per metrics path (two concurrent jobs
+    could read the same max and both record the same seq); duplicate
+    seqs still fold in a stated, deterministic order because run_id
+    is the tie-break in the sort struct."""
     m = _read_metrics(spark, metrics_path)
     runs = F.array_sort(
         F.collect_list(
             F.struct(
-                F.coalesce("run_seq", F.lit(0)).alias("run_seq"), "docs_per_sec"
+                F.coalesce("run_seq", F.lit(0)).alias("run_seq"),
+                "run_id",
+                "docs_per_sec",
             )
         )
     )
@@ -150,6 +157,9 @@ def run_extraction_job(
     # lexicographically — 'run-10' < 'run-2'); the metrics log itself
     # records the sequence, so replays stay deterministic. The pinned-
     # schema read tolerates pre-run_seq log files (null -> seq 0).
+    # SINGLE-WRITER assumption: max+1 is not safe under concurrent
+    # jobs sharing one metrics path — duplicates then fold in the
+    # (run_seq, run_id) order ewma_metrics documents.
     from pyspark.errors import AnalysisException
 
     try:

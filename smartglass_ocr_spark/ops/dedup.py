@@ -6,10 +6,12 @@ functions only (JVM-side, codegen-friendly, shuffle-minimal):
 - exact:      md5 hash-groupBy clusters
 - normalized: canonicalized-text dedupe keeping the min doc_id
 - n-gram Jaccard: shingle self-join -> pair similarity
-- MinHash+LSH: per-band lexical-min-of-md5 signatures (narrow,
-  in-row array_min — no shuffle) -> bucket join
-- SimHash:    32-bit weighted fingerprint from md5 hex-digit bits,
-  computed as a single narrow in-row fold (no shuffle)
+- MinHash+LSH: per-band lexical-min-of-md5 signatures (explode +
+  one partial-combining min agg) -> bucket join
+- SimHash:    32-bit weighted fingerprint from md5 hex-digit bits
+  (explode + one partial-combining 32-lane sum agg)
+- fingerprint: single-permutation min-md5-shingle (same explode +
+  min-agg shape; the narrow HOF twin exists for streaming only)
 
 Determinism note: every hash is md5-hex (identical in Spark and
 DuckDB), never xxhash/murmur (engine-specific), so each operator has
@@ -76,13 +78,31 @@ def _gram_array(n: int, text_col: str | F.Column = "text") -> F.Column:
     )
 
 
+def _shingle_rows_raw(docs: DataFrame, n: int, text_col: str | F.Column) -> DataFrame:
+    """(doc_id, shingle) rows WITH duplicates — explode an index
+    sequence then project ``concat_ws(slice(tokens, i, n))`` with plain
+    codegen'd expressions. Deliberately NOT ``explode(_gram_array(...))``:
+    exploding a ``transform``-derived array re-evaluates the interpreted
+    lambda under GenerateExec (the repo's measured ~100x trap class),
+    while this shape stays inside WholeStageCodegen end to end."""
+    toks = _tokens(text_col)
+    count = F.greatest(F.lit(1), F.size(toks) - F.lit(n - 1))
+    idx = docs.select(
+        "doc_id",
+        toks.alias("_w"),
+        F.explode(F.sequence(F.lit(1), count)).alias("_i"),
+    )
+    return idx.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), n)).alias("shingle"),
+    )
+
+
 def shingle_rows(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
     """Distinct (doc_id, shingle) rows of word n-grams — the common
     front half of Jaccard and MinHash. Narrow (explode) stage; the
     later distinct is fused with downstream aggregation."""
-    return docs.select(
-        "doc_id", F.explode(_gram_array(n, text_col)).alias("shingle")
-    ).distinct()
+    return _shingle_rows_raw(docs, n, text_col).distinct()
 
 
 def jaccard_pairs(
@@ -163,7 +183,7 @@ def minhash_band_signatures(
         # that rot(b) == rot(b-8) and band signatures silently repeat,
         # inflating LSH candidate recall
         raise ValueError(f"bands must be in 1..8, got {bands}")
-    sh = docs.select("doc_id", F.explode(_gram_array(n, text_col)).alias("shingle"))
+    sh = _shingle_rows_raw(docs, n, text_col)
     h = F.md5("shingle")
 
     def rot(b: int) -> F.Column:
@@ -249,17 +269,26 @@ def min_shingle_fingerprint(
     n: int = 5, text_col: str | F.Column = "text"
 ) -> F.Column:
     """The fingerprint as a bare column expression (name or derived
-    Column) — fully narrow (in-row fold), so it also works on
-    streaming frames where a groupBy would need stateful-agg
-    plumbing."""
+    Column) — fully narrow (in-row HOF fold). STREAMING-ONLY shape:
+    a stream can't insert the groupBy shuffle the batch path uses, so
+    the interpreted ``transform(md5)`` lambda is the price of staying
+    narrow there. Batch callers must use
+    :func:`fingerprint_min_shingle` instead (explode + codegen
+    ``min(md5)`` agg — the HOF fold is interpreted per element and
+    benched ~10x slower in this repo's minhash shape comparison)."""
     return F.array_min(F.transform(_gram_array(n, text_col), lambda g: F.md5(g)))
 
 
 def fingerprint_min_shingle(docs: DataFrame, n: int = 5, text_col: str = "text") -> DataFrame:
     """Single-permutation document fingerprint: min md5 over word
-    n-gram shingles (winnowing-lite). Fully narrow — the min is an
-    in-row ``array_min`` fold, no explode, no shuffle (duplicates
-    can't change a min, so the distinct is unnecessary too)."""
-    return docs.select(
-        "doc_id", min_shingle_fingerprint(n, text_col).alias("fingerprint")
-    )
+    n-gram shingles (winnowing-lite).
+
+    Batch shape (r2 VERDICT fix): explode the shingle indices (plain
+    codegen generator, no lambdas) -> md5 once per shingle -> ONE
+    partial-combining ``min`` hash-agg, so the shuffle carries one
+    row per doc per mapper — identical bytes moved to the minhash
+    signature agg, and every md5 runs inside WholeStageCodegen
+    instead of an interpreted ``transform`` lambda (duplicates can't
+    change a min, so no distinct is needed)."""
+    sh = _shingle_rows_raw(docs, n, text_col)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))

@@ -51,6 +51,8 @@ def hash_split(
     val docs into train. Pure projection, zero shuffle."""
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
+    if total <= 0:
+        raise ValueError(f"weights must sum to > 0, got {weights}")
     bucket = _hash_bucket(F.col(key_col), salt)
     expr: Column | None = None
     acc = 0.0

@@ -150,10 +150,16 @@ def cosine_topk(
         F.round(_cosine_vs_query(query)(F.col(vec_col)), 6).alias("cos"),
     )
     # limit-k first (per-partition TakeOrdered + merge, no full sort),
-    # then rank the k survivors — partitionBy(lit) gives the window an
-    # explicit (single) partition so WindowExec doesn't warn about an
-    # implicit global move; it runs on k rows either way.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cos"), F.asc("vec_id"))
+    # then rank the k survivors. The partition key must be NON-FOLDABLE
+    # to silence WindowExec's "No Partition Defined" warning — r2 used
+    # partitionBy(lit(0)) and Catalyst folded the constant partition
+    # away, so the warning still fired. vec_id * 0 is constant per row
+    # but not compile-time foldable (vec_id could be null as far as the
+    # optimizer knows), so the single explicit partition survives; the
+    # window still runs on only the k surviving rows.
+    w = Window.partitionBy(F.col("vec_id") * F.lit(0)).orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
     ranked = (
         scored.orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)
@@ -175,9 +181,16 @@ def probe_buckets(query: list[float], bits: int, nprobe: int = 1) -> list[int]:
     buckets = [base]
     for lane in by_margin:  # single flips
         buckets.append(base ^ (1 << int(lane)))
-    for i in range(len(by_margin)):  # double flips, smallest pairs first
-        for j in range(i + 1, len(by_margin)):
-            buckets.append(base ^ (1 << int(by_margin[i])) ^ (1 << int(by_margin[j])))
+    # double flips, truly smallest combined margin first (r2 ADVICE:
+    # (i,j) order over margin-sorted lanes is NOT combined-margin
+    # order — e.g. lanes (0,3) would precede (1,2) even when |d1|+|d2|
+    # is smaller); ties break on the lane pair for determinism
+    pairs = sorted(
+        ((int(i), int(j)) for a, i in enumerate(by_margin) for j in by_margin[a + 1:]),
+        key=lambda p: (abs(dots[p[0]]) + abs(dots[p[1]]), min(p), max(p)),
+    )
+    for i, j in pairs:
+        buckets.append(base ^ (1 << i) ^ (1 << j))
     if nprobe > len(buckets):  # beyond 2 flips: remaining ids in order
         seen = set(buckets)
         buckets.extend(b for b in range(1 << bits) if b not in seen)

@@ -383,14 +383,17 @@ def range_join_buckets(
         else campaign_windows(events.sparkSession, n_campaigns)
     )
     width = bucket_hours * _US_PER_HOUR
+    # end is exclusive: the last contained instant is end-1. The
+    # greatest() clamps degenerate intervals (end_us <= start_us):
+    # without it F.sequence sees stop < start and silently generates a
+    # DESCENDING bucket list, exploding an empty interval into many
+    # candidate rows (correctness survives — the containment filter
+    # drops them — but candidate volume inflates unnoticed).
+    lo = F.floor(F.col("start_us") / width)
     camp_b = camp.withColumn(
         "bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col("start_us") / width),
-                # end is exclusive: the last contained instant is end-1
-                F.floor((F.col("end_us") - 1) / width),
-            )
+            F.sequence(lo, F.greatest(lo, F.floor((F.col("end_us") - 1) / width)))
         ),
     )
     us = _micros("ts")

@@ -316,3 +316,58 @@ def test_materialized_rollup_builds_from_finer_grain(spark, tmp_path):
     want = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
             for r in hierarchical_rollup(events).collect()}
     assert got == want
+
+
+def test_probe_buckets_double_flips_by_combined_margin():
+    """Double-flip probes must come out in true combined-margin order
+    (|dot_i| + |dot_j| ascending), not (i, j) index order over the
+    margin-sorted lanes (r2 ADVICE)."""
+    import numpy as np
+
+    from smartglass_ocr_spark.ops.similarity import plane_matrix, probe_buckets
+
+    q = [0.3, -1.2, 0.7, 0.05, -0.4, 0.9, -0.1, 0.2]
+    bits = 4
+    dots = plane_matrix(bits, len(q)) @ np.asarray(q)
+    base = int(np.sum((dots > 0) * (1 << np.arange(bits))))
+    probes = probe_buckets(q, bits, 1 + bits + (bits * (bits - 1)) // 2)
+    doubles = probes[1 + bits:]
+    margins = []
+    for b in doubles:
+        flipped = [i for i in range(bits) if (b ^ base) & (1 << i)]
+        assert len(flipped) == 2
+        margins.append(abs(dots[flipped[0]]) + abs(dots[flipped[1]]))
+    assert margins == sorted(margins)
+
+
+def test_range_join_degenerate_interval_bucket_clamp(spark):
+    """An inverted interval (end_us <= start_us) must explode to ONE
+    candidate bucket, not a descending bucket sequence (r2 ADVICE:
+    results stayed correct but candidate volume silently inflated)."""
+    from smartglass_ocr_spark.ops.windows import range_join_buckets
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00")], "event_id int, ts string"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    base = 1704067200000000
+    intervals = spark.createDataFrame(
+        [(0, base + 3600_000_000 * 200, base)], "campaign_id int, start_us long, end_us long"
+    )
+    # empty result (containment can't hold) AND exactly one candidate row
+    assert range_join_buckets(events, intervals=intervals).count() == 0
+    width = 12 * 3600_000_000
+    cand = (
+        intervals.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_us") / width),
+                    F.greatest(
+                        F.floor(F.col("start_us") / width),
+                        F.floor((F.col("end_us") - 1) / width),
+                    ),
+                )
+            ),
+        ).count()
+    )
+    assert cand == 1

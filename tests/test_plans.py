@@ -94,3 +94,15 @@ def test_broadcast_joins_in_q5(spark, queries):
     plan = _plan(queries["q5_nation_revenue"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_fingerprint_explode_min_agg_shape(spark, queries):
+    """doc_fingerprint's batch path must be the explode + codegen
+    min(md5) agg (r2 VERDICT: the interpreted-HOF transform(md5) fold
+    is a real CPU multiplier at 10^12 docs); the narrow HOF twin is
+    reserved for streaming. Same pin for the minhash signatures, which
+    share the shingle derivation."""
+    for name in ("doc_fingerprint", "dedup_minhash_lsh"):
+        plan = _plan(queries[name](spark, SF))
+        assert "lambdafunction" not in plan, name
+        assert "partial_min" in plan, name

@@ -83,3 +83,10 @@ def test_split_and_sample_are_narrow(spark, docs):
     for df in (hash_split(docs), hash_sample(docs, 0.1)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_hash_split_rejects_zero_weight_sum(spark, docs):
+    import pytest
+
+    with pytest.raises(ValueError, match="weights must sum to > 0"):
+        hash_split(docs, weights={"a": 0.0, "b": 0.0})
