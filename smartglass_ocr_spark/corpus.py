@@ -330,7 +330,8 @@ def spans_from_flat(documents: DataFrame, spans_per_doc: int = 8) -> DataFrame:
 
 
 def span_rows_from_flat(documents: DataFrame, spans_per_doc: int = 8,
-                        partitions: int | None = None) -> DataFrame:
+                        partitions: int | None = None,
+                        kind_hash: str = "xxhash64") -> DataFrame:
     """Exploded twin of :func:`spans_from_flat`: one row per span,
     derived with plain codegen'd expressions (explode a sequence of
     indices, then project the shared span-field expressions) — no
@@ -344,7 +345,17 @@ def span_rows_from_flat(documents: DataFrame, spans_per_doc: int = 8,
     clusters on, so the reassembly aggregation needs NO further
     exchange — the whole pipeline then shuffles only the short flat
     rows, never the 10x-wider span rows. (A pandas UDF between would
-    break this: ArrowEvalPython drops outputPartitioning.)"""
+    break this: ArrowEvalPython drops outputPartitioning.)
+
+    ``kind_hash``: which hash drives the kind/offset interleaving and
+    the media_ref. The default ``"xxhash64"`` (+ sha1 media_ref) is
+    the flagship derivation — fastest JVM hash, byte-pinned by the
+    golden tests. ``"md5"`` derives bit-identical-in-DuckDB values
+    (md5 is the only hash both engines share), which is what gives
+    the media-catalog/frame-sample contract queries a SQL oracle; the
+    span semantics and plan shape are unchanged."""
+    if kind_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"kind_hash must be 'xxhash64' or 'md5', got {kind_hash!r}")
     base = _flat_base(documents, spans_per_doc)
     if partitions:
         base = base.repartition(partitions, "doc_id")
@@ -355,23 +366,34 @@ def span_rows_from_flat(documents: DataFrame, spans_per_doc: int = 8,
         F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("_i"),
     )
     i = F.col("_i")
+    if kind_hash == "xxhash64":
+        h = F.xxhash64(F.col("doc_id"), i)
+    else:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), i.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
     # hoist kind into its own projection as an array-literal lookup:
     # element_at(kinds, bucket+1) === the when-chain (default bucket 0
     # -> _FLAT_KINDS[0]), evaluated ONCE per span instead of the CASE
     # tree re-inlined into each of the three kind-dependent fields
-    bucket = F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(len(_FLAT_KINDS)))
+    bucket = F.pmod(h, F.lit(len(_FLAT_KINDS)))
     kind = F.element_at(
         F.array(*[F.lit(k) for k in _FLAT_KINDS]), (bucket + 1).cast("int")
     )
     staged = idx.select("doc_id", "w", "chunk", "_i", kind.alias("_kind"))
-    offset = (i * 7 + F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(5))).cast("int")
+    offset = (i * 7 + F.pmod(h, F.lit(5))).cast("int")
     is_media = F.col("_kind").isin("image", "video", "audio")
     span_text = F.concat_ws(
         " ", F.slice(F.col("w"), (i * F.col("chunk") + 1).cast("int"), F.col("chunk"))
     )
+    ref_key = F.concat_ws(":", F.col("doc_id"), offset.cast("string"))
     media_ref = F.concat(
         F.lit("m-"),
-        F.substring(F.sha1(F.concat_ws(":", F.col("doc_id"), offset.cast("string"))), 1, 12),
+        F.substring(F.sha1(ref_key) if kind_hash == "xxhash64" else F.md5(ref_key), 1, 12),
     )
     return staged.select(
         "doc_id",

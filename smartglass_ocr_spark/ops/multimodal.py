@@ -41,13 +41,21 @@ MEDIA_SCHEMA = (
 _CODECS = {"image": "png", "video": "h264", "audio": "pcm16"}
 
 
-def _meta_field(ref: Column, salt: str, lo: int, hi: int) -> Column:
+def _meta_field(ref: Column, salt: str, lo: int, hi: int, meta_hash: str) -> Column:
     """Deterministic int in [lo, hi) derived from the media_ref —
-    pure JVM expression so the catalog needs no Python and no RNG."""
-    return (F.pmod(F.xxhash64(F.concat(ref, F.lit(":" + salt))), F.lit(hi - lo)) + lo).cast("int")
+    pure JVM expression so the catalog needs no Python and no RNG.
+    ``meta_hash="md5"`` uses the 32-bit md5-prefix construction that
+    DuckDB reproduces exactly (oracle mode); ``"xxhash64"`` is the
+    cheaper flagship default."""
+    key = F.concat(ref, F.lit(":" + salt))
+    if meta_hash == "xxhash64":
+        h = F.xxhash64(key)
+    else:
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (F.pmod(h, F.lit(hi - lo)) + lo).cast("int")
 
 
-def media_catalog(source: DataFrame) -> DataFrame:
+def media_catalog(source: DataFrame, meta_hash: str = "xxhash64") -> DataFrame:
     """Media table derived from the spans corpus: one row per media
     span, with a deterministic binary payload (64 bytes = unhex of
     sha2-512 of the ref — a stand-in for real object-store bytes) and
@@ -59,7 +67,13 @@ def media_catalog(source: DataFrame) -> DataFrame:
     column — exploded here) or already-exploded span rows; prefer
     rows derived via ``corpus.span_rows_from_flat`` when available
     (exploding an expression-derived array re-evaluates interpreted
-    lambdas under GenerateExec)."""
+    lambdas under GenerateExec).
+
+    ``meta_hash``: hash behind the synthetic typed metadata —
+    ``"md5"`` makes every meta field DuckDB-reproducible (the
+    contract oracle); the operator logic is hash-agnostic."""
+    if meta_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"meta_hash must be 'xxhash64' or 'md5', got {meta_hash!r}")
     ref = F.col("media_ref")
     rows = source.select(F.inline("spans")) if "spans" in source.columns else source
     media = (
@@ -80,9 +94,9 @@ def media_catalog(source: DataFrame) -> DataFrame:
         "media_type",
         content.alias("content"),
         F.struct(
-            F.when(~is_aud, _meta_field(ref, "w", 64, 4096)).alias("width"),
-            F.when(~is_aud, _meta_field(ref, "h", 64, 4096)).alias("height"),
-            F.when(~is_img, _meta_field(ref, "d", 1000, 600_000)).alias("duration_ms"),
+            F.when(~is_aud, _meta_field(ref, "w", 64, 4096, meta_hash)).alias("width"),
+            F.when(~is_aud, _meta_field(ref, "h", 64, 4096, meta_hash)).alias("height"),
+            F.when(~is_img, _meta_field(ref, "d", 1000, 600_000, meta_hash)).alias("duration_ms"),
             F.when(is_aud, F.lit(16_000).cast("int")).alias("sample_rate"),
             codec.alias("codec"),
             F.length(content).cast("int").alias("n_bytes"),

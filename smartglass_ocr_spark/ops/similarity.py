@@ -276,9 +276,34 @@ def lsh_index_topk(
     return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
-def _assign_udf(centroids: list[list[float]]):
+def fixed_random_centroids(k: int, dim: int) -> list[list[float]]:
+    """Deterministic, data-independent coarse quantizer: centroid
+    components from md5('ivf{cid}:{d}') — the same exact-in-both-
+    engines construction as the LSH planes (integer / 2^31 - 1 is
+    exact binary arithmetic, so Spark and DuckDB build bit-identical
+    doubles). This is what gives IVF assignment a sound SQL oracle:
+    Lloyd-refined centroids (:func:`ivf_build_centroids`) average
+    doubles whose summation order differs between engines and
+    COMPOUNDS across iterations, so they stay pytest-pinned (recall
+    vs brute force) rather than oracled."""
+    return [
+        [
+            int(hashlib.md5(f"ivf{cid}:{d}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for cid in range(k)
+    ]
+
+
+def _assign_udf(centroids: list[list[float]], round_dp: int | None = None):
     """pandas UDF: nearest-centroid id per row (cosine argmax, ties to
-    the lowest cid — np.argmax keeps the first maximum)."""
+    the lowest cid — np.argmax keeps the first maximum). ``round_dp``
+    rounds the similarities before the argmax so a cross-engine oracle
+    compares on a shared grid (BLAS pairwise summation vs a sequential
+    SQL sum differ in final ulps; after round-6 they agree unless the
+    true value sits within ~1e-15 of a 0.5e-6 boundary)."""
     c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
     cn = np.sqrt(np.einsum("ij,ij->i", c, c))
     cn[cn == 0.0] = 1.0
@@ -290,6 +315,8 @@ def _assign_udf(centroids: list[list[float]]):
         if m.shape[0] == 0:
             return pd.Series([], dtype="int32")
         sims = (m / _row_norms(m)[:, None]) @ cu.T  # (batch, k)
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 
     # pure; marker suppresses duplicate evaluation (see _pair_cosine)
@@ -340,6 +367,7 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """(vec_id, v, cid): nearest-centroid bucket per vector — ONE
     narrow pass (the r1 shape joined every vector against all k
@@ -350,7 +378,7 @@ def ivf_assign(
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        _assign_udf(centroids)(F.col(vec_col)).alias("cid"),
+        _assign_udf(centroids, round_dp)(F.col(vec_col)).alias("cid"),
     )
 
 
@@ -364,20 +392,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
     assigned: DataFrame | None = None,
+    round_dp: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: nearest ``nprobe`` centroid buckets are
     scanned and exact-reranked (~nprobe/k of the data touched). Pass
     prebuilt ``centroids``/``assigned`` to amortize the index across
     queries (the production shape); built ad hoc otherwise. Recall vs
-    brute force is pinned in tests."""
+    brute force is pinned in tests. ``round_dp`` puts assignment and
+    probe similarities on a fixed decimal grid (oracle mode — see
+    :func:`fixed_random_centroids`)."""
     if centroids is None:
         centroids = ivf_build_centroids(
             embeddings, k=n_centroids, vec_col=vec_col, id_col=id_col
         )
     if assigned is None:
-        assigned = ivf_assign(embeddings, centroids, vec_col=vec_col, id_col=id_col)
+        assigned = ivf_assign(
+            embeddings, centroids, vec_col=vec_col, id_col=id_col, round_dp=round_dp
+        )
 
-    probe_cids = nearest_centroids(query, centroids, nprobe)
+    probe_cids = nearest_centroids(query, centroids, nprobe, round_dp=round_dp)
     scored = assigned.filter(F.col("cid").isin(probe_cids)).select(
         "vec_id", F.round(_cosine_vs_query(query)(F.col("v")), 6).alias("cos")
     )
@@ -385,15 +418,20 @@ def ivf_topk(
 
 
 def nearest_centroids(
-    query: list[float], centroids: list[list[float]], nprobe: int
+    query: list[float],
+    centroids: list[list[float]],
+    nprobe: int,
+    round_dp: int | None = None,
 ) -> list[int]:
     """The nprobe centroid ids nearest the query by cosine,
-    deterministic tie-break on id (driver-side, tiny)."""
+    deterministic tie-break on id (driver-side, tiny). ``round_dp``
+    matches the oracle's rounded-similarity grid."""
     qn = math.sqrt(sum(x * x for x in query)) or 1.0
 
     def qcos(c: list[float]) -> float:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        return sum(a * b for a, b in zip(query, c)) / (qn * cn)
+        s = sum(a * b for a, b in zip(query, c)) / (qn * cn)
+        return round(s, round_dp) if round_dp is not None else s
 
     return [
         cid for cid, _ in sorted(
