@@ -350,7 +350,7 @@ def _q_signage_content(spark, sf_dir):
 
     return (
         signage_classify(_t(spark, sf_dir, "documents"))
-        .groupBy("signage_class")
+        .groupBy("signage_class", "description")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -931,7 +931,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "signage_content": """
             WITH c AS (
-                SELECT CASE
+                SELECT text, CASE
+                    WHEN text IS NULL OR text = '' THEN 'unknown'
                     WHEN contains(lower(text),'menu') OR contains(lower(text),'restaurant')
                       OR contains(lower(text),'cafe') OR contains(lower(text),'food')
                       OR contains(lower(text),'kuliner') THEN 'restaurant_promotion'
@@ -961,8 +962,28 @@ def oracle_sql() -> dict[str, str]:
                       OR contains(lower(text),'caution') THEN 'warning'
                     ELSE 'general' END AS signage_class
                 FROM documents
+            ), d AS (
+                SELECT signage_class, CASE signage_class
+                    WHEN 'unknown' THEN 'Could not determine the content of this sign.'
+                    WHEN 'restaurant_promotion' THEN 'This is a promotional sign for a restaurant or food establishment offering special deals.'
+                    WHEN 'retail_promotion' THEN 'This is a retail promotion sign advertising sales or special offers.'
+                    WHEN 'promotion' THEN 'This appears to be a promotional sign or banner advertising a special offer or deal.'
+                    WHEN 'property' THEN 'This is a property sign that appears to be advertising rental or sale information.'
+                    WHEN 'government' THEN 'This is an official sign from a government office or agency.'
+                    WHEN 'religious' THEN 'This appears to be a religious sign or announcement.'
+                    WHEN 'celebration' THEN 'This is a celebration or commemorative banner for a special event or occasion.'
+                    WHEN 'directional' THEN 'This is a directional or navigation sign.'
+                    WHEN 'warning' THEN 'This is a warning or safety sign alerting of potential hazards or prohibitions.'
+                    ELSE CASE WHEN contains(text, chr(10))
+                         THEN 'This sign contains the main text "'
+                              || string_split(text, chr(10))[1]
+                              || '" followed by additional information.'
+                         ELSE 'This appears to be a general informational sign or banner.'
+                    END END AS description
+                FROM c
             )
-            SELECT signage_class, count(*) AS n FROM c GROUP BY signage_class
+            SELECT signage_class, description, count(*) AS n
+            FROM d GROUP BY signage_class, description
         """,
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -15,7 +15,9 @@ from __future__ import annotations
 from smartglass_ocr_spark.rules.classify import MEDIA_KINDS, classify_block, strip_html
 from smartglass_ocr_spark.rules.cleanup import clean_for_class
 from smartglass_ocr_spark.rules.confidence import status_for, weighted_confidence
-from smartglass_ocr_spark.rules.extract import confidence_level, extract_structured
+from smartglass_ocr_spark.rules.extract import (
+    confidence_level, extract_structured, extract_structured_typed,
+)
 from smartglass_ocr_spark.rules.format import format_text
 from smartglass_ocr_spark.rules.langdetect import detect_language
 from smartglass_ocr_spark.rules.structure import detect_structure
@@ -43,11 +45,46 @@ def process_span(kind: str, text: str | None) -> tuple[str, str | None]:
     return block_class, clean_for_class(block_class, text or "")
 
 
-def process_document(doc: dict) -> dict:
+def truncate_doc_spans(
+    spans: list[dict],
+    max_spans: int | None = None,
+    max_bytes: int | None = None,
+) -> list[dict]:
+    """Offset-ordered prefix cap — the engine-side analogue of the
+    reference's ingest clamp (MAX_FILE_SIZE 16 MB,
+    ``/root/reference/app/config.py:19``, enforced before processing
+    at ``lib/smartglass_ocr.py:172``): processing sees only the first
+    ``max_spans`` spans and/or the spans whose cumulative text bytes
+    stay within ``max_bytes``, in reading order. Everything past the
+    cap is dropped from the document — spans output included — just
+    as the reference never sees bytes past its clamp. At least one
+    span is always kept. Returns the sorted (possibly capped) list."""
+    spans = sorted(spans, key=lambda s: s["offset"])
+    if max_spans is not None:
+        spans = spans[: max(1, max_spans)]
+    if max_bytes is not None:
+        total = 0
+        kept = []
+        for s in spans:
+            total += len((s["text"] or "").encode("utf-8", "surrogatepass"))
+            if kept and total > max_bytes:
+                break
+            kept.append(s)
+        spans = kept
+    return spans
+
+
+def process_document(
+    doc: dict,
+    max_spans: int | None = None,
+    max_bytes: int | None = None,
+) -> dict:
     """Full golden output for one {doc_id, spans} document: cleaned
     spans in offset order + per-doc derived metadata (FIXTURES.md §2-3).
+    ``max_spans``/``max_bytes`` apply :func:`truncate_doc_spans`
+    first (default off — byte-identical to the uncapped spec).
     """
-    spans = sorted(doc["spans"], key=lambda s: s["offset"])
+    spans = truncate_doc_spans(doc["spans"], max_spans, max_bytes)
     out_spans = []
     class_hist: dict[str, int] = {}
     for s in spans:
@@ -61,7 +98,18 @@ def process_document(doc: dict) -> dict:
                 "offset": s["offset"],
             }
         )
+    return document_metadata(doc["doc_id"], out_spans, class_hist)
 
+
+def document_metadata(
+    doc_id: str, out_spans: list[dict], class_hist: dict[str, int]
+) -> dict:
+    """The post-classification half of :func:`process_document`: the
+    full golden output row for ALREADY cleaned+classified spans in
+    offset order. Split out so the skew-routed pipeline can classify a
+    mega-document's spans distributed across the cluster and run only
+    this per-doc tail serially — equality with the fused path is then
+    by construction (per-span classification is context-free)."""
     # document text = non-empty cleaned text spans joined in order
     # (the analogue of the text the reference hands to format_text)
     doc_text = "\n\n".join(
@@ -109,7 +157,7 @@ def process_document(doc: dict) -> dict:
             key_insights = extract_key_insights(formatted_text)
 
     return {
-        "doc_id": doc["doc_id"],
+        "doc_id": doc_id,
         "spans": out_spans,
         "formatted_text": formatted_text,
         "lang": detect_language(formatted_text),
@@ -118,6 +166,10 @@ def process_document(doc: dict) -> dict:
         "structure": detect_structure(formatted_text),
         "block_class_hist": class_hist,
         "structured_info": extract_structured(extract_class, formatted_text),
+        # typed nested twin (receipt items array<struct>, table
+        # headers/rows — the reference's actual JSON shapes); None
+        # for classes whose reference output is a flat map anyway
+        "structured_typed": extract_structured_typed(extract_class, formatted_text),
         "summary": summary,
         "key_insights": key_insights,
         "confidence": confidence,

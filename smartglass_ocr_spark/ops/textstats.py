@@ -134,14 +134,47 @@ _SIGNAGE_LADDER = (
 )
 
 
+# canned per-class descriptions, verbatim from the reference
+# (app/core/ocr_processor.py:273-343); 'general' is dynamic — the
+# reference embeds the first line when the sign has >= 2 lines
+_SIGNAGE_DESCRIPTIONS = {
+    "unknown": "Could not determine the content of this sign.",
+    "restaurant_promotion": "This is a promotional sign for a restaurant or food establishment offering special deals.",
+    "retail_promotion": "This is a retail promotion sign advertising sales or special offers.",
+    "promotion": "This appears to be a promotional sign or banner advertising a special offer or deal.",
+    "property": "This is a property sign that appears to be advertising rental or sale information.",
+    "government": "This is an official sign from a government office or agency.",
+    "religious": "This appears to be a religious sign or announcement.",
+    "celebration": "This is a celebration or commemorative banner for a special event or occasion.",
+    "directional": "This is a directional or navigation sign.",
+    "warning": "This is a warning or safety sign alerting of potential hazards or prohibitions.",
+}
+
+
 def signage_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """F15 signage content classifier as a when-ladder over lowered
-    text; 'general' fallback. One narrow projection."""
-    lowered = F.lower(F.col(text_col))
+    text; 'general' fallback, 'unknown' for empty text (ref
+    ``if not text``). Emits the reference's canned ``description``
+    alongside the class — for 'general' the multi-line form embeds
+    the first line (ref :338-343). One narrow projection."""
+    text = F.col(text_col)
+    lowered = F.lower(text)
     expr = F.lit("general")
     for cls, words in reversed(_SIGNAGE_LADDER):
         hit = F.lit(False)
         for w in words:
             hit = hit | lowered.contains(w)
         expr = F.when(hit, F.lit(cls)).otherwise(expr)
-    return docs.select("doc_id", expr.alias("signage_class"))
+    cls_col = F.when(text.isNull() | (text == ""), F.lit("unknown")).otherwise(expr)
+    general_desc = F.when(
+        text.contains("\n"),
+        F.concat(
+            F.lit('This sign contains the main text "'),
+            F.split(text, "\n").getItem(0),
+            F.lit('" followed by additional information.'),
+        ),
+    ).otherwise(F.lit("This appears to be a general informational sign or banner."))
+    desc = general_desc
+    for cls, d in _SIGNAGE_DESCRIPTIONS.items():
+        desc = F.when(cls_col == cls, F.lit(d)).otherwise(desc)
+    return docs.select("doc_id", cls_col.alias("signage_class"), desc.alias("description"))

@@ -43,7 +43,12 @@ def weighted_confidence(text: str, raw_confidence: float = RAW_BASE_CONFIDENCE) 
         word_factor = 1.0
     compact = "".join(text.split())
     if compact:
-        non_alnum = sum(1 for c in compact if not c.isalnum()) / len(compact)
+        # distinct-char fold (Counter runs in C): exact equivalent of
+        # the per-char genexpr, ~10x faster on multi-MB docs
+        from collections import Counter
+
+        counts = Counter(compact)
+        non_alnum = sum(v for c, v in counts.items() if not c.isalnum()) / len(compact)
         if non_alnum > 0.4:
             quality_factor = 0.7
         elif non_alnum > 0.3:

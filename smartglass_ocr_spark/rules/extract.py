@@ -1,10 +1,18 @@
 """Structured field extraction (E1-E7 in SURVEY.md §2.8).
 
-Re-expresses ``lib/information_extraction.py`` as pure functions
-returning a *flattened* ``dict[str, str]`` (Spark column type
-``map<string,string>``; FIXTURES.md §3 ``structured_info``). Nested
-shapes (receipt items, table rows) flatten with deterministic keys
-(``item_0_name``, ``row_0``, ...).
+Re-expresses ``lib/information_extraction.py`` as pure functions.
+Two views of the same extraction:
+
+- flattened ``dict[str, str]`` (Spark ``map<string,string>``;
+  FIXTURES.md §3 ``structured_info``) — nested shapes flatten with
+  deterministic keys (``item_0_name``, ``row_0``, ...);
+- TYPED nested twins (``extract_receipt_typed`` /
+  ``extract_table_typed`` / ``extract_structured_typed``) matching
+  the reference's actual JSON shapes byte-for-byte — receipt
+  ``items`` as a list of structs, table ``rows`` as {header: value}
+  maps — surfaced as the ``structured_typed`` struct column
+  (executed-reference parity with NO flattening caveat,
+  tests/test_reference_parity.py).
 
 Parity citations:
 - dispatcher          -> ``lib/information_extraction.py:28-53``
@@ -101,8 +109,12 @@ _ITEM_P2 = re.compile(r"(.+?)\s+\$?([0-9\.,]+)")
 _ITEM_P3 = re.compile(r"(\d+)(?:\s*[xX]\s*)(.+?)\s+\$?([0-9\.,]+)")
 
 
-def extract_receipt(text: str) -> dict[str, str]:
-    out: dict[str, str] = {}
+def extract_receipt_typed(text: str) -> dict:
+    """The reference's NESTED receipt shape (ref lib/
+    information_extraction.py:136-276): scalar fields plus
+    ``items: [{name, quantity, price}]`` — SURVEY §1.1's promised
+    ``array<struct>``. :func:`extract_receipt` flattens this."""
+    out: dict = {"items": []}
     lines = text.split("\n")
     if lines and lines[0].strip():
         out["merchant"] = lines[0].strip()
@@ -149,7 +161,6 @@ def extract_receipt(text: str) -> dict[str, str]:
         if in_items and line:
             item_lines.append(line)
 
-    n = 0
     for line in item_lines:
         m = _ITEM_P1.match(line)
         if m:
@@ -164,11 +175,21 @@ def extract_receipt(text: str) -> dict[str, str]:
                     qty, name, price = m.group(1), m.group(2).strip(), m.group(3)
                 else:
                     name, qty, price = line, "1", "0.00"
-        out[f"item_{n}_name"] = name
-        out[f"item_{n}_quantity"] = qty
-        out[f"item_{n}_price"] = price
-        n += 1
-    out["items_count"] = str(n)
+        out["items"].append({"name": name, "quantity": qty, "price": price})
+    return out
+
+
+def extract_receipt(text: str) -> dict[str, str]:
+    """Flattened map view of :func:`extract_receipt_typed`
+    (``item_N_*`` keys + ``items_count``) — the stable
+    ``map<string,string>`` contract column."""
+    typed = extract_receipt_typed(text)
+    out = {k: v for k, v in typed.items() if k != "items"}
+    for n, item in enumerate(typed["items"]):
+        out[f"item_{n}_name"] = item["name"]
+        out[f"item_{n}_quantity"] = item["quantity"]
+        out[f"item_{n}_price"] = item["price"]
+    out["items_count"] = str(len(typed["items"]))
     return out
 
 
@@ -269,14 +290,31 @@ def _parse_space_aligned(lines: list[str]) -> tuple[list[str], list[list[str]]]:
     return headers, rows
 
 
-def extract_table(text: str) -> dict[str, str]:
+def _table_headers_rows(text: str) -> tuple[list[str], list[list[str]]]:
     lines = text.split("\n")
     if any("|" in ln for ln in lines):
-        headers, rows = _parse_delimited(lines, "|")
-    elif any("\t" in ln for ln in lines):
-        headers, rows = _parse_delimited(lines, "\t")
-    else:
-        headers, rows = _parse_space_aligned(lines)
+        return _parse_delimited(lines, "|")
+    if any("\t" in ln for ln in lines):
+        return _parse_delimited(lines, "\t")
+    return _parse_space_aligned(lines)
+
+
+def extract_table_typed(text: str) -> dict:
+    """The reference's NESTED table shape (ref lib/
+    information_extraction.py:331-369): ``headers`` list + ``rows``
+    as per-row {header: value} maps (``row_data[headers[j]] =
+    values[j]`` ≡ ``dict(zip(headers, values))`` — same truncation at
+    the shorter side, same last-wins collapse of duplicate headers;
+    empty row_data rows are skipped, ref :421-423)."""
+    headers, rows = _table_headers_rows(text)
+    row_maps = [dict(zip(headers, values)) for values in rows]
+    return {"headers": headers, "rows": [r for r in row_maps if r]}
+
+
+def extract_table(text: str) -> dict[str, str]:
+    """Flattened map view ('|'-joined headers and value rows) — the
+    stable ``map<string,string>`` contract column."""
+    headers, rows = _table_headers_rows(text)
     out = {"headers": "|".join(headers), "n_rows": str(len(rows))}
     for i, row in enumerate(rows):
         out[f"row_{i}"] = "|".join(row)
@@ -316,6 +354,36 @@ def extract_structured(block_class: str, text: str) -> dict[str, str]:
     if block_class == "table":
         return extract_table(text)
     return extract_generic(text)
+
+
+def extract_structured_typed(block_class: str, text: str) -> dict | None:
+    """Typed nested twin of :func:`extract_structured` for the two
+    classes whose reference output is genuinely nested — receipts
+    (``items array<struct<name,quantity,price>>``, ref lib/
+    information_extraction.py:236-274) and tables (``headers``/
+    ``rows``, ref :366-369). id_card/form/generic reference shapes
+    are flat string maps already, fully carried by the flattened
+    ``structured_info`` column — None here."""
+    if not text:
+        return None
+    if block_class == "receipt":
+        t = extract_receipt_typed(text)
+        return {
+            "receipt": {
+                "merchant": t.get("merchant"),
+                "date": t.get("date"),
+                "time": t.get("time"),
+                "subtotal": t.get("subtotal"),
+                "tax": t.get("tax"),
+                "total": t.get("total"),
+                "payment_method": t.get("payment_method"),
+                "items": t["items"],
+            },
+            "table": None,
+        }
+    if block_class == "table":
+        return {"receipt": None, "table": extract_table_typed(text)}
+    return None
 
 
 def confidence_level(confidence: float) -> str:

@@ -66,6 +66,33 @@ def render_markdown(doc: dict) -> str:
     if insights is not None and len(insights) > 0:
         parts += ["", "## Key Insights", ""]
         parts += [f"- {escape_md(i)}" for i in insights]
+    # receipt docs render the reference's dedicated receipt block —
+    # merchant/date/time lines, the items TABLE, totals (ref
+    # app/core/markdown_formatter.py:274-318) — from the typed nested
+    # structured_typed.receipt; the grouped key-value fallback below
+    # then skips its flat 'receipt' section to avoid duplication
+    typed = doc.get("structured_typed")
+    receipt = typed.get("receipt") if typed is not None else None
+    if receipt is not None:
+        parts += ["", "## Receipt", ""]
+        for label, key in (("Merchant", "merchant"), ("Date", "date"), ("Time", "time")):
+            if receipt.get(key):
+                parts.append(f"**{label}**: {escape_md(str(receipt[key]))}")
+        items = receipt.get("items")
+        if items is not None and len(items) > 0:
+            parts += ["", "### Items", "",
+                      "| Item | Quantity | Price |", "| ---- | -------- | ----- |"]
+            parts += [
+                f"| {escape_md(it.get('name') or '')} "
+                f"| {escape_md(it.get('quantity') or '1')} "
+                f"| {escape_md(it.get('price') or '0.00')} |"
+                for it in items
+            ]
+        parts += ["", "### Totals", ""]
+        for label, key in (("Subtotal", "subtotal"), ("Tax", "tax"),
+                           ("Total", "total"), ("Payment Method", "payment_method")):
+            if receipt.get(key):
+                parts.append(f"**{label}**: {escape_md(str(receipt[key]))}")
     info = doc.get("structured_info") or {}
     if info:
         from smartglass_ocr_spark.rules.extract import format_structured_info
@@ -74,6 +101,8 @@ def render_markdown(doc: dict) -> str:
         # (ref lib/information_extraction.py:644-684)
         parts += ["", "## Extracted Fields"]
         for section, fields in format_structured_info(dict(info)).items():
+            if section == "receipt" and receipt is not None:
+                continue
             parts += ["", f"### {section}", "", "| Field | Value |", "| --- | --- |"]
             parts += [
                 f"| {escape_md(k)} | {escape_md(str(fields[k]))} |"

@@ -371,3 +371,41 @@ def test_range_join_degenerate_interval_bucket_clamp(spark):
         ).count()
     )
     assert cand == 1
+
+
+def test_signage_classify_classes_and_descriptions(spark):
+    """F15: every ladder class maps to the reference's verbatim canned
+    description (ref app/core/ocr_processor.py:273-343); empty text is
+    'unknown'; 'general' embeds the first line for multi-line signs."""
+    from smartglass_ocr_spark.ops.textstats import (
+        _SIGNAGE_DESCRIPTIONS, signage_classify,
+    )
+
+    cases = [
+        ("d0", "Lunch menu today", "restaurant_promotion"),
+        ("d1", "Big sale this week", "retail_promotion"),
+        ("d2", "Limited offer now", "promotion"),
+        ("d3", "Rumah dijual murah", "property"),
+        ("d4", "Kantor pelayanan", "government"),
+        ("d5", "Masjid Al-Falah", "religious"),
+        ("d6", "Selamat datang semua", "celebration"),
+        ("d7", "Exit to the left", "directional"),
+        ("d8", "Danger high voltage", "warning"),
+        ("d9", "", "unknown"),
+        ("d10", "Just words here", "general"),
+        ("d11", "Main Title\nmore detail below", "general"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r for r in signage_classify(df).collect()}
+    for doc_id, text, expected in cases:
+        assert out[doc_id]["signage_class"] == expected, doc_id
+    for doc_id, _, cls in cases[:10]:
+        assert out[doc_id]["description"] == _SIGNAGE_DESCRIPTIONS[cls], doc_id
+    assert out["d10"]["description"] == (
+        "This appears to be a general informational sign or banner."
+    )
+    assert out["d11"]["description"] == (
+        'This sign contains the main text "Main Title" followed by additional information.'
+    )

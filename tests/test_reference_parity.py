@@ -245,3 +245,32 @@ def test_confidence_bands_match_reference(ref_tp):
 
     for c in range(0, 101):
         assert confidence_level(float(c)) == _format_confidence_level(c), c
+
+
+def test_typed_extraction_matches_reference_nested(ref_tp):
+    """The typed structured_info twins equal the executed reference's
+    NESTED shapes with NO flattening caveat: receipts byte-equal
+    including the items list of dicts (ref lib/information_extraction
+    .py:136-276), tables including the per-row {header: value} maps
+    (ref :331-528)."""
+    from lib.information_extraction import InformationExtractor
+
+    from smartglass_ocr_spark.corpus import generate_docs
+    from smartglass_ocr_spark.rules.extract import (
+        extract_receipt_typed, extract_table_typed,
+    )
+
+    ie = InformationExtractor()
+    n_receipts = n_tables = 0
+    for d in generate_docs(120, seed=41):
+        for s in d["spans"]:
+            t = s["text"]
+            if not t:
+                continue
+            if s["kind"] == "receipt":
+                n_receipts += 1
+                assert extract_receipt_typed(t) == ie.extract_receipt_info(t), t[:80]
+            elif s["kind"] == "table":
+                n_tables += 1
+                assert extract_table_typed(t) == ie.extract_table_info(t), t[:80]
+    assert n_receipts > 20 and n_tables > 20
