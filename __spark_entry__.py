@@ -222,6 +222,17 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash32(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_components(spark, sf_dir):
+    # cluster the MinHash candidate pairs into duplicate components
+    # (min-reachable-doc_id labeling); deterministic fixpoint
+    from smartglass_ocr_spark.ops.dedup import (
+        duplicate_components, minhash_lsh_candidates,
+    )
+
+    pairs = minhash_lsh_candidates(_t(spark, sf_dir, "documents"), bands=8, n=5)
+    return duplicate_components(pairs)
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from smartglass_ocr_spark.ops.dedup import fingerprint_min_shingle
 
@@ -498,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
         "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_components": _q_dedup_components,
         "lang_id_counts": _q_lang_id_counts,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -540,6 +552,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # media_catalog / frame_sample (hash-parameterized md5 derivation,
 # r3) — has a value-hash DuckDB oracle below.
 # --------------------------------------------------------------------
+
+# MinHash band-signature candidate pairs (shared by the pair query
+# and the components query): band b permutation = nibble-group
+# rotation of one shared md5 per shingle
+_MINHASH_PAIRS_CTE = """
+    toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
+        FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
+    ), sigs AS (
+        SELECT doc_id, band,
+               min(substr(h, CAST(4 * band + 1 AS INT), CAST(32 - 4 * band AS INT))
+                   || substr(h, 1, CAST(4 * band AS INT))) AS sig
+        FROM sh, UNNEST(range(0, 8)) AS t(band)
+        GROUP BY doc_id, band
+    ), mh_pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+"""
+
 
 # DuckDB twin of corpus.span_rows_from_flat(kind_hash='md5') +
 # ops/multimodal.media_catalog(meta_hash='md5'): the md5-path span
@@ -793,23 +828,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
         """,
-        "dedup_minhash_lsh": """
-            WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
-            ), sh AS (
-                SELECT doc_id, md5(array_to_string(w[i:i+4], ' ')) AS h
-                FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
-            ), sigs AS (
-                -- band b permutation = nibble-group rotation of the shared md5
-                SELECT doc_id, band,
-                       min(substr(h, CAST(4 * band + 1 AS INT), CAST(32 - 4 * band AS INT))
-                           || substr(h, 1, CAST(4 * band AS INT))) AS sig
-                FROM sh, UNNEST(range(0, 8)) AS t(band)
-                GROUP BY doc_id, band
+        "dedup_minhash_lsh": "WITH " + _MINHASH_PAIRS_CTE + """
+            SELECT doc_a, doc_b FROM mh_pairs
+        """,
+        # duplicate components: min-reachable-doc_id labeling of the
+        # MinHash pair graph — recursive closure over bidirectional
+        # edges mirrors the engine's min-label propagation fixpoint
+        "dedup_components": "WITH RECURSIVE " + _MINHASH_PAIRS_CTE + """
+            , edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
+            ), reach(node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
             )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sigs a JOIN sigs b
-              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM reach GROUP BY node
         """,
         "dedup_simhash": """
             WITH toks AS (

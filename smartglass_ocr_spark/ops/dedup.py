@@ -265,6 +265,78 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return lane_sums.select("doc_id", simhash.alias("simhash"))
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair list
+    (the tail of every dedup family: MinHash/Jaccard/SimHash emit
+    PAIRS; deduplication needs CLUSTERS — keep one doc per component,
+    drop the rest). Returns (doc_id, component_id) where component_id
+    is the minimum doc_id reachable; only docs appearing in at least
+    one pair are returned (singletons are trivially their own
+    component).
+
+    Algorithm: iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels
+    (one edge join + one partial-combining min agg per round),
+    stopping at the fixpoint (an anti-join equality check per round).
+    Rounds needed = graph diameter; near-dup components are tiny
+    dense cliques (diameter 1-2) so this converges in 2-3 rounds —
+    the classic pathological chain would need the large-star/
+    small-star reformulation (path doubling, O(log n) rounds), which
+    this deliberately avoids carrying until a real workload needs it.
+    ``localCheckpoint`` truncates the growing lineage each round so
+    the plan doesn't deepen with iterations. Raises if ``max_iters``
+    rounds don't converge (determinism guard — never returns a
+    half-propagated labeling)."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+            )
+    raise RuntimeError(
+        f"duplicate_components did not converge in {max_iters} rounds — "
+        "component diameter exceeds the bound; raise max_iters or use a "
+        "path-doubling formulation"
+    )
+
+
 def min_shingle_fingerprint(
     n: int = 5, text_col: str | F.Column = "text"
 ) -> F.Column:

@@ -51,6 +51,11 @@ _ID_FIELD_PATTERNS = {
     "religion": r"(?:religion|agama)[\s:]+([^\n]+)",
 }
 _ID_FIELD_RXS = {f: re.compile(p, re.IGNORECASE) for f, p in _ID_FIELD_PATTERNS.items()}
+# fallback label patterns, precompiled once (the rf-string rebuild per
+# call cost ~30% of extract_id_card in the flagship profile); the
+# label literal itself gates each search C-side — both patterns
+# require it verbatim in the lowered haystack, so a failed `in` skips
+# the regex scan exactly
 _ID_FIELD_LABELS = {
     "name": ["name", "nama"],
     "date_of_birth": ["date of birth", "birth date", "birthdate", "dob", "tanggal lahir"],
@@ -66,6 +71,17 @@ _ID_FIELD_LABELS = {
     "occupation": ["occupation", "job", "pekerjaan"],
     "religion": ["religion", "agama"],
 }
+_ID_LABEL_RXS = {
+    field: [
+        (
+            label,
+            re.compile(rf"\b{re.escape(label)}\s*:\s*([^\n]+)", re.IGNORECASE),
+            re.compile(rf"^\s*{re.escape(label)}\s+([^\n]+)", re.IGNORECASE | re.MULTILINE),
+        )
+        for label in labels
+    ]
+    for field, labels in _ID_FIELD_LABELS.items()
+}
 
 
 def extract_id_card(text: str) -> dict[str, str]:
@@ -80,17 +96,17 @@ def extract_id_card(text: str) -> dict[str, str]:
             value = m.group(1).strip()
             if value:
                 out[field] = value
-    for field, labels in _ID_FIELD_LABELS.items():
+    for field, labels in _ID_LABEL_RXS.items():
         if field in out:
             continue
-        for label in labels:
-            m = re.search(rf"\b{re.escape(label)}\s*:\s*([^\n]+)", lowered, re.IGNORECASE)
+        for label, rx_colon, rx_line in labels:
+            if label not in lowered:
+                continue
+            m = rx_colon.search(lowered)
             if m and m.group(1).strip():
                 out[field] = m.group(1).strip()
                 break
-            m = re.search(
-                rf"^\s*{re.escape(label)}\s+([^\n]+)", lowered, re.IGNORECASE | re.MULTILINE
-            )
+            m = rx_line.search(lowered)
             if m and m.group(1).strip():
                 out[field] = m.group(1).strip()
                 break

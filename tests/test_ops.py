@@ -409,3 +409,27 @@ def test_signage_classify_classes_and_descriptions(spark):
     assert out["d11"]["description"] == (
         'This sign contains the main text "Main Title" followed by additional information.'
     )
+
+
+def test_duplicate_components_chain_and_clique(spark):
+    """Min-label propagation must reach the fixpoint across multi-hop
+    chains (A-B, B-C, C-D => one component labeled by the min), keep
+    disjoint cliques separate, and be invariant to pair orientation."""
+    from smartglass_ocr_spark.ops.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(4, 3), (2, 3), (1, 2),          # chain 1-2-3-4 (mixed orientation)
+         (10, 11), (11, 12), (10, 12),    # clique {10,11,12}
+         (20, 21)],                       # pair {20,21}
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component_id"] for r in duplicate_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(
+            spark.createDataFrame([(i, i + 1) for i in range(6)], "doc_a long, doc_b long"),
+            max_iters=2,
+        )
