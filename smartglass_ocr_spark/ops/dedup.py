@@ -115,15 +115,20 @@ def jaccard_pairs(
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
 
     shingles -> (hot-shingle cap) -> per-doc size attached via window
-    -> self-join on shingle -> one pair agg carrying both sizes ->
-    |A∩B|/(|A|+|B|-|A∩B|).
+    -> per-shingle member arrays -> in-row pair generation -> one
+    pair agg carrying both sizes -> |A∩B|/(|A|+|B|-|A∩B|).
 
-    Shape note (r2): per-doc sizes ride the shingle rows as a window
-    count instead of a separate aggregate joined back twice — the r1
-    plan evaluated the shingle derivation FOUR times (sizes, hot-cap
-    counts, both join sides: 4 corpus scans / 7 exchanges); this one
-    scans twice (the two join sides, identical subtrees the runtime
-    can reuse) with one window exchange each and a single pair agg.
+    Shape note (r3): the r1 plan evaluated the shingle derivation
+    FOUR times (4 corpus scans / 7 exchanges); r2's self-join still
+    evaluated it twice (Catalyst does not reuse the identical join-
+    branch subtrees — measured on the minhash twin). This shape is
+    ONE corpus scan: group the shingle rows by shingle into sorted
+    member arrays (with each member's doc size riding along) and
+    emit the co-occurrence pairs in-row, exactly like
+    :func:`minhash_lsh_candidates`. Shingle-bucket fan-in is the
+    hot-key risk the ``max_shingle_docs`` document-frequency cap
+    already bounds — standard LSH-banding practice, and the cap
+    now also bounds the per-row member-array width.
     """
     from pyspark.sql.window import Window
 
@@ -137,17 +142,39 @@ def jaccard_pairs(
     shs = sh.withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    a = shs.alias("a")
-    b = shs.alias("b")
+    buckets = (
+        shs.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n_shingles"))
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") > 1)
+    )
+    # in-row pair generation over the (doc_id-sorted) member array:
+    # doc_a < doc_b by construction, sizes ride along
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + 2, F.size("_ms")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["n_shingles"].alias("size_a"),
+                    y["n_shingles"].alias("size_b"),
+                ),
+            ),
+        )
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .groupBy(F.col("_p.doc_a").alias("doc_a"), F.col("_p.doc_b").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common"),
             # constant within the group — min() just picks it up
-            F.min("a.n_shingles").alias("size_a"),
-            F.min("b.n_shingles").alias("size_b"),
+            F.min("_p.size_a").alias("size_a"),
+            F.min("_p.size_b").alias("size_b"),
         )
     )
     return (
@@ -209,16 +236,42 @@ def minhash_lsh_candidates(
     docs: DataFrame, bands: int = 8, n: int = 5, text_col: str = "text"
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band signature
-    (rows-per-band=1 LSH). Bucket self-join on (band, sig) — the
-    bucket key is uniform by construction (md5), so no skew salting
-    needed; distinct pairs out."""
+    (rows-per-band=1 LSH).
+
+    Shape (r3): group the signature rows by (band, sig) into sorted
+    member arrays and generate pairs IN-ROW, instead of the r2
+    sig-to-sig self-join. Catalyst does not reuse the join branches'
+    identical subtrees (measured: 2 FileScans, 0 ReusedExchange), so
+    the join shape derived the shingle+md5+min-agg pipeline TWICE —
+    locally the two derivations run concurrently and wall time hides
+    it, but at 10^12 docs it doubles the dominant cost (corpus scan +
+    per-shingle md5). This shape scans once; the pair generation is
+    an interpreted HOF but runs only over buckets with >= 2 members
+    (actual duplicate groups — a vanishing fraction), each a tiny
+    sorted array. The (band, sig) key is md5-uniform so the grouping
+    doesn't skew; a pathological poison bucket (thousands of docs
+    sharing a signature) concentrates its members into one row here,
+    where the r2 join made k^2 rows instead — cap shingle-frequency
+    upstream (see ``jaccard_pairs.max_shingle_docs``) if a corpus
+    has such degenerate near-identical families."""
     sigs = minhash_band_signatures(docs, bands=bands, n=n, text_col=text_col)
-    a = sigs.alias("a")
-    b = sigs.alias("b")
+    buckets = (
+        sigs.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
+        .filter(F.size("_ds") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ds"), i + 2, F.size("_ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 

@@ -100,9 +100,19 @@ def test_fingerprint_explode_min_agg_shape(spark, queries):
     """doc_fingerprint's batch path must be the explode + codegen
     min(md5) agg (r2 VERDICT: the interpreted-HOF transform(md5) fold
     is a real CPU multiplier at 10^12 docs); the narrow HOF twin is
-    reserved for streaming. Same pin for the minhash signatures, which
-    share the shingle derivation."""
-    for name in ("doc_fingerprint", "dedup_minhash_lsh"):
-        plan = _plan(queries[name](spark, SF))
-        assert "lambdafunction" not in plan, name
-        assert "partial_min" in plan, name
+    reserved for streaming."""
+    plan = _plan(queries["doc_fingerprint"](spark, SF))
+    assert "lambdafunction" not in plan
+    assert "partial_min" in plan
+
+
+def test_minhash_single_corpus_scan(spark, queries):
+    """minhash candidates must derive the signature pipeline ONCE:
+    the r2 self-join shape silently ran the shingle+md5+min-agg
+    subtree per join branch (Catalyst doesn't reuse them — 2
+    FileScans), doubling the dominant 10^12-doc cost. The bucket-
+    collect shape is pinned to one scan; its pair-generation HOF is
+    allowed — it runs only over >=2-member buckets."""
+    plan = _plan(queries["dedup_minhash_lsh"](spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    assert "partial_min" in plan
