@@ -240,13 +240,13 @@ def _q_doc_fingerprint(spark, sf_dir):
 
 
 def _q_lang_id_counts(spark, sf_dir):
+    # confusion counts in ONE corpus scan: the label column rides the
+    # lang_id projection instead of joining back to the source
     from smartglass_ocr_spark.ops.textstats import lang_id
 
     docs = _t(spark, sf_dir, "documents")
-    pred = lang_id(docs)
     return (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        lang_id(docs, keep=("lang",))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )

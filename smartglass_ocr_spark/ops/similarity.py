@@ -497,12 +497,23 @@ def cosine_self_near_dup(
     bits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bucketed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH bucket self-join + exact
     cosine filter. The bucket key bounds the quadratic blowup to
     within-bucket pairs; the pair re-rank is one einsum per Arrow
-    batch."""
-    v = embeddings.select(
+    batch.
+
+    Pass ``bucketed`` — a (vec_id, v, bucket) frame, e.g.
+    ``spark.read.parquet(lsh_index_path)`` from
+    :func:`write_lsh_index` — to skip the ad-hoc bucket computation:
+    the self-join's two branches each evaluate the bucket UDF over
+    the full table otherwise (Catalyst does not reuse the identical
+    branch subtrees), which is 2x the Arrow/UDF cost at scale. The
+    bucket-collect trick used by the lexical dedup ops does NOT
+    transfer here: collecting raw embedding vectors into per-bucket
+    arrays concentrates ~N/2^bits * dim floats into single rows."""
+    v = bucketed if bucketed is not None else embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         _bucket_udf(bits)(F.col(vec_col)).alias("bucket"),

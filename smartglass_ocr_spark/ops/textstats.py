@@ -27,12 +27,19 @@ def _hits(col: Column, words: tuple[str, ...]) -> Column:
     return out
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, predicted) — keyword-panel vote, en/id/other."""
+def lang_id(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *keep, predicted) — keyword-panel vote, en/id/other.
+    ``keep`` carries extra source columns through the projection so a
+    consumer comparing the prediction against a label column doesn't
+    join back to the source (a join is a second corpus scan —
+    Catalyst doesn't reuse the branch subtrees)."""
     en = _hits(F.col(text_col), _EN_PANEL)
     ind = _hits(F.col(text_col), _ID_PANEL)
     return docs.select(
         "doc_id",
+        *keep,
         F.when((ind >= 2) & (ind > en), F.lit("id"))
         .when(en >= 2, F.lit("en"))
         .otherwise(F.lit("other"))

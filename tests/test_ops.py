@@ -433,3 +433,20 @@ def test_duplicate_components_chain_and_clique(spark):
             spark.createDataFrame([(i, i + 1) for i in range(6)], "doc_a long, doc_b long"),
             max_iters=2,
         )
+
+
+def test_near_dup_accepts_materialized_index(spark, tmp_path):
+    """cosine_self_near_dup over a written LSH index must equal the
+    ad-hoc path (and skips the per-branch bucket UDF re-evaluation)."""
+    from smartglass_ocr_spark.ops.similarity import (
+        cosine_self_near_dup, write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "lshidx")
+    write_lsh_index(emb, path, bits=4)
+    idx = spark.read.parquet(path)
+    adhoc = set(map(tuple, cosine_self_near_dup(emb, threshold=0.3, bits=4).collect()))
+    via_idx = set(map(tuple, cosine_self_near_dup(
+        emb, threshold=0.3, bits=4, bucketed=idx).collect()))
+    assert adhoc == via_idx and adhoc
