@@ -222,6 +222,12 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash32(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    from smartglass_ocr_spark.ops.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, bands=4)
+
+
 def _q_dedup_components(spark, sf_dir):
     # cluster the MinHash candidate pairs into duplicate components
     # (min-reachable-doc_id labeling); deterministic fixpoint
@@ -508,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_components": _q_dedup_components,
         "lang_id_counts": _q_lang_id_counts,
@@ -552,6 +559,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # media_catalog / frame_sample (hash-parameterized md5 derivation,
 # r3) — has a value-hash DuckDB oracle below.
 # --------------------------------------------------------------------
+
+# SimHash fingerprints (shared by the fingerprint query and the
+# banded Hamming-pair query)
+_SIMHASH_CTE = """
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY doc_id, tok
+    ), lanes AS (
+        SELECT doc_id, i,
+               CASE WHEN substr(md5(tok), CAST(i + 1 AS INT), 1)
+                         IN ('8','9','a','b','c','d','e','f')
+                    THEN w ELSE -w END AS signed
+        FROM tf, UNNEST(range(0, 32)) AS t(i)
+    ), s AS (
+        SELECT doc_id, i, sum(signed) AS s FROM lanes GROUP BY doc_id, i
+    ), sims AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+        FROM s GROUP BY doc_id
+    )
+"""
+
 
 # MinHash band-signature candidate pairs (shared by the pair query
 # and the components query): band b permutation = nibble-group
@@ -847,24 +878,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(label) AS component_id
             FROM reach GROUP BY node
         """,
-        "dedup_simhash": """
-            WITH toks AS (
-                SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-                FROM documents
-            ), tf AS (
-                SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY doc_id, tok
-            ), lanes AS (
-                SELECT doc_id, i,
-                       CASE WHEN substr(md5(tok), CAST(i + 1 AS INT), 1)
-                                 IN ('8','9','a','b','c','d','e','f')
-                            THEN w ELSE -w END AS signed
-                FROM tf, UNNEST(range(0, 32)) AS t(i)
-            ), s AS (
-                SELECT doc_id, i, sum(signed) AS s FROM lanes GROUP BY doc_id, i
+        "dedup_simhash": "WITH " + _SIMHASH_CTE + """
+            SELECT doc_id, simhash FROM sims
+        """,
+        # banded Hamming pairs: any pair with distance <= 3 shares at
+        # least one of the 4 whole bytes (pigeonhole); verify with
+        # bit_count(xor)
+        "dedup_simhash_pairs": "WITH " + _SIMHASH_CTE + """
+            , banded AS (
+                SELECT doc_id, simhash, band,
+                       (simhash >> (band * 8)) & 255 AS bits
+                FROM sims, (SELECT unnest(generate_series(0, 3)) AS band)
+            ), cands AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sa, b.simhash AS sb
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
             )
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
-            FROM s GROUP BY doc_id
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cands WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "doc_fingerprint": """
             WITH toks AS (

@@ -318,6 +318,81 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return lane_sums.select("doc_id", simhash.alias("simhash"))
 
 
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: docs whose 32-bit simhash differs
+    in at most ``max_hamming`` bits. (:func:`simhash32` emits the
+    fingerprints; this is the pair tail that makes them a dedup
+    operator.)
+
+    Pigeonhole banding: the 32 bits split into ``bands`` contiguous
+    groups; any pair within Hamming distance ``bands - 1`` agrees
+    exactly on at least one whole band, so candidates = docs sharing
+    a (band, band_bits) bucket — an equi-key, never an all-pairs
+    scan. Same single-scan bucket-collect shape as
+    :func:`minhash_lsh_candidates`; verification is one codegen'd
+    ``bit_count(simhash_a ^ simhash_b) <= max_hamming`` filter.
+    Guard: ``bands`` must exceed ``max_hamming`` or the pigeonhole
+    recall guarantee silently breaks."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    if 32 % bands != 0:
+        raise ValueError(f"bands must divide 32, got {bands}")
+    width = 32 // bands
+    mask = (1 << width) - 1
+    sims = simhash32(docs, text_col=text_col)
+    band_pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sims.select(
+        "doc_id", "simhash", F.explode(band_pairs).alias("bp")
+    ).select("doc_id", "simhash", "bp.band", "bp.bits")
+    buckets = (
+        banded.groupBy("band", "bits")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("_ms"))
+        .filter(F.size("_ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("_ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ms"), i + 2, F.size("_ms")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["simhash"].alias("sim_a"),
+                    y["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select(
+            "_p.doc_a",
+            "_p.doc_b",
+            F.bit_count(F.col("_p.sim_a").bitwiseXOR(F.col("_p.sim_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     max_iters: int = 25,

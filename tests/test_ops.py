@@ -450,3 +450,29 @@ def test_near_dup_accepts_materialized_index(spark, tmp_path):
     via_idx = set(map(tuple, cosine_self_near_dup(
         emb, threshold=0.3, bits=4, bucketed=idx).collect()))
     assert adhoc == via_idx and adhoc
+
+
+def test_simhash_near_pairs_pigeonhole_exact(spark):
+    """Banded candidates must find EVERY pair within max_hamming
+    (pigeonhole: <= bands-1 differing bits leave one band intact) —
+    verified against the brute-force all-pairs set on a small corpus;
+    parameter guards raise."""
+    import itertools
+
+    import pytest as _pytest
+
+    from smartglass_ocr_spark.ops.dedup import simhash32, simhash_near_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    brute = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {tuple(r) for r in simhash_near_pairs(docs, max_hamming=3, bands=4).collect()}
+    assert got == brute
+    with _pytest.raises(ValueError, match="must exceed"):
+        simhash_near_pairs(docs, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divide 32"):
+        simhash_near_pairs(docs, max_hamming=2, bands=5)
