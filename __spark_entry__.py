@@ -239,6 +239,21 @@ def _q_dedup_components(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+def _q_dedup_keep_list(spark, sf_dir):
+    # the end-to-end dedup composition a pipeline actually runs:
+    # MinHash candidates -> connected components -> keep one doc per
+    # component (the min id), drop the rest — emitted as the surviving
+    # corpus id list via LEFT ANTI join against the drop set
+    from smartglass_ocr_spark.ops.dedup import (
+        duplicate_components, minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = duplicate_components(minhash_lsh_candidates(docs, bands=8, n=5))
+    drops = comps.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     from smartglass_ocr_spark.ops.dedup import fingerprint_min_shingle
 
@@ -517,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_components": _q_dedup_components,
+        "dedup_keep_list": _q_dedup_keep_list,
         "lang_id_counts": _q_lang_id_counts,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -877,6 +893,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(label) AS component_id
             FROM reach GROUP BY node
+        """,
+        "dedup_keep_list": "WITH RECURSIVE " + _MINHASH_PAIRS_CTE + """
+            , edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
+            ), reach(node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comps AS (
+                SELECT node AS doc_id, min(label) AS component_id
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM comps c
+                WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component_id
+            )
         """,
         "dedup_simhash": "WITH " + _SIMHASH_CTE + """
             SELECT doc_id, simhash FROM sims

@@ -41,10 +41,16 @@ HEADLINE = [
     "a10_ordered_group_concat",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_jaccard",
+    "dedup_components",
     "doc_fingerprint",
     "quality_scores",
     "entity_harvest",
     "knn_cosine",
+    "knn_lsh",
+    "media_catalog",
+    "hierarchical_rollup",
 ]
 
 
