@@ -600,6 +600,39 @@ _SIMHASH_CTE = """
 """
 
 
+# 64-bit SimHash (ops/dedup.simhash64): two lanes per md5 nibble —
+# lane i = high bit (digit >= '8'), lane 32+i = bit 2 ('4'..'7' or
+# >= 'c'); hex digits are ASCII-ordered so the range compares are
+# engine-identical. Lane 63's value is -2^63 (sign bit); DuckDB
+# sum(BIGINT) accumulates in HUGEINT so no overflow before the cast.
+_SIMHASH64_CTE = """
+    toks64 AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents
+    ), tf64 AS (
+        SELECT doc_id, tok, count(*) AS w FROM toks64 GROUP BY doc_id, tok
+    ), lanes64 AS (
+        SELECT doc_id, i,
+               CASE WHEN (i < 32 AND substr(md5(tok), CAST((i % 32) + 1 AS INT), 1) >= '8')
+                      OR (i >= 32 AND (
+                           (substr(md5(tok), CAST((i % 32) + 1 AS INT), 1) >= '4'
+                            AND substr(md5(tok), CAST((i % 32) + 1 AS INT), 1) < '8')
+                           OR substr(md5(tok), CAST((i % 32) + 1 AS INT), 1) >= 'c'))
+                    THEN w ELSE -w END AS signed
+        FROM tf64, UNNEST(range(0, 64)) AS t(i)
+    ), s64 AS (
+        SELECT doc_id, i, sum(signed) AS s FROM lanes64 GROUP BY doc_id, i
+    ), sims64 AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN
+                        CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                             ELSE (1::BIGINT << i) END
+                        ELSE 0 END) AS BIGINT) AS simhash
+        FROM s64 GROUP BY doc_id
+    )
+"""
+
+
 # MinHash band-signature candidate pairs (shared by the pair query
 # and the components query): band b permutation = nibble-group
 # rotation of one shared md5 per shingle
@@ -916,14 +949,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": "WITH " + _SIMHASH_CTE + """
             SELECT doc_id, simhash FROM sims
         """,
-        # banded Hamming pairs: any pair with distance <= 3 shares at
-        # least one of the 4 whole bytes (pigeonhole); verify with
-        # bit_count(xor)
-        "dedup_simhash_pairs": "WITH " + _SIMHASH_CTE + """
+        # banded Hamming pairs over the 64-bit simhash: any pair with
+        # distance <= 3 shares one of the 4 whole 16-bit bands
+        # (pigeonhole); verify with bit_count(xor). Arithmetic >> +
+        # mask and the two's-complement sign-bit lane agree between
+        # engines (checked: (-2^63 >> 48) & 65535 = 32768 in both)
+        "dedup_simhash_pairs": "WITH " + _SIMHASH64_CTE + """
             , banded AS (
                 SELECT doc_id, simhash, band,
-                       (simhash >> (band * 8)) & 255 AS bits
-                FROM sims, (SELECT unnest(generate_series(0, 3)) AS band)
+                       (simhash >> (band * 16)) & 65535 AS bits
+                FROM sims64, (SELECT unnest(generate_series(0, 3)) AS band)
             ), cands AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.simhash AS sa, b.simhash AS sb

@@ -461,10 +461,16 @@ def test_simhash_near_pairs_pigeonhole_exact(spark):
 
     import pytest as _pytest
 
-    from smartglass_ocr_spark.ops.dedup import simhash32, simhash_near_pairs
+    from smartglass_ocr_spark.ops.dedup import (
+        simhash32, simhash64, simhash_near_pairs,
+    )
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
-    sims = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    # java longs are signed: normalize to the 64-bit pattern for ^
+    sims = {
+        r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+        for r in simhash64(docs).collect()
+    }
     brute = {
         (a, b, bin(sims[a] ^ sims[b]).count("1"))
         for a, b in itertools.combinations(sorted(sims), 2)
@@ -472,7 +478,20 @@ def test_simhash_near_pairs_pigeonhole_exact(spark):
     }
     got = {tuple(r) for r in simhash_near_pairs(docs, max_hamming=3, bands=4).collect()}
     assert got == brute
+    # the 32-bit variant must stay exact too (band keys are just
+    # noisier — more candidates, identical surviving pair set rule)
+    sims32 = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
+    brute32 = {
+        (a, b, bin(sims32[a] ^ sims32[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sims32), 2)
+        if bin(sims32[a] ^ sims32[b]).count("1") <= 3
+    }
+    got32 = {
+        tuple(r)
+        for r in simhash_near_pairs(docs, max_hamming=3, bands=4, bits=32).collect()
+    }
+    assert got32 == brute32
     with _pytest.raises(ValueError, match="must exceed"):
         simhash_near_pairs(docs, max_hamming=4, bands=4)
-    with _pytest.raises(ValueError, match="divide 32"):
+    with _pytest.raises(ValueError, match="divide 64"):
         simhash_near_pairs(docs, max_hamming=2, bands=5)
