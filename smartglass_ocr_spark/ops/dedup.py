@@ -480,6 +480,15 @@ def duplicate_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # convergence check: per-node labels are monotonically
+    # NON-INCREASING (min of self and neighbors), so the label sum is
+    # strictly decreasing until the fixpoint — an equal sum proves no
+    # node changed, replacing a per-round join-and-compare with one
+    # cheap aggregate (decimal accumulator so 10^12 ids can't overflow)
+    def label_sum(df) -> object:
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -494,18 +503,13 @@ def duplicate_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("component_id")
             )
+        prev_sum = cur_sum
     raise RuntimeError(
         f"duplicate_components did not converge in {max_iters} rounds — "
         "component diameter exceeds the bound; raise max_iters or use a "
