@@ -233,7 +233,11 @@ def minhash_band_signatures(
 
 
 def minhash_lsh_candidates(
-    docs: DataFrame, bands: int = 8, n: int = 5, text_col: str = "text"
+    docs: DataFrame,
+    bands: int = 8,
+    n: int = 5,
+    text_col: str = "text",
+    max_bucket_docs: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band signature
     (rows-per-band=1 LSH).
@@ -249,16 +253,24 @@ def minhash_lsh_candidates(
     an interpreted HOF but runs only over buckets with >= 2 members
     (actual duplicate groups — a vanishing fraction), each a tiny
     sorted array. The (band, sig) key is md5-uniform so the grouping
-    doesn't skew; a pathological poison bucket (thousands of docs
-    sharing a signature) concentrates its members into one row here,
-    where the r2 join made k^2 rows instead — cap shingle-frequency
-    upstream (see ``jaccard_pairs.max_shingle_docs``) if a corpus
-    has such degenerate near-identical families."""
+    doesn't skew by chance; a DEGENERATE mass-duplicate family
+    (every copy of one boilerplate page shares every signature)
+    would concentrate k members — k(k-1)/2 pair structs — into ONE
+    row, which at k in the tens of thousands exceeds executor memory
+    (the r2 join shape merely spelled the same k^2 as rows).
+    ``max_bucket_docs`` therefore DROPS buckets wider than the cap —
+    a deliberate, documented recall cut on exactly the families
+    pairwise LSH is the wrong tool for: mass duplicates are removed
+    for O(k) by :func:`exact_duplicate_clusters` /
+    :func:`normalized_dedupe` first (run those before LSH, the
+    standard pipeline order); the default 1000 keeps the widest
+    surviving row at ~500k structs (~10 MB) and never fires on a
+    corpus whose exact dups were already folded."""
     sigs = minhash_band_signatures(docs, bands=bands, n=n, text_col=text_col)
     buckets = (
         sigs.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
-        .filter(F.size("_ds") > 1)
+        .filter((F.size("_ds") > 1) & (F.size("_ds") <= max_bucket_docs))
     )
     pairs = F.flatten(
         F.transform(
@@ -366,6 +378,7 @@ def simhash_near_pairs(
     bands: int = 4,
     text_col: str = "text",
     bits: int = 64,
+    max_bucket_docs: int = 1000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: docs whose simhash differs in at
     most ``max_hamming`` bits. (:func:`simhash64` / :func:`simhash32`
@@ -383,7 +396,11 @@ def simhash_near_pairs(
     recall guarantee silently breaks; default ``bits=64`` — the
     32-bit variant's 8-bit band keys collide by chance at corpus
     scale (see :func:`simhash64`), measured 7.0 s vs 3.9 s at sf0.1
-    on this box purely from chance-candidate blowup."""
+    on this box purely from chance-candidate blowup.
+    ``max_bucket_docs`` bounds the per-row pair fan-out exactly as in
+    :func:`minhash_lsh_candidates` (identical docs share the full
+    fingerprint and land together in every band): run exact dedup
+    first, then the cap never fires."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
@@ -411,7 +428,7 @@ def simhash_near_pairs(
     buckets = (
         banded.groupBy("band", "bits")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("_ms"))
-        .filter(F.size("_ms") > 1)
+        .filter((F.size("_ms") > 1) & (F.size("_ms") <= max_bucket_docs))
     )
     pair_structs = F.flatten(
         F.transform(
@@ -480,15 +497,11 @@ def duplicate_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    # convergence check: per-node labels are monotonically
-    # NON-INCREASING (min of self and neighbors), so the label sum is
-    # strictly decreasing until the fixpoint — an equal sum proves no
-    # node changed, replacing a per-round join-and-compare with one
-    # cheap aggregate (decimal accumulator so 10^12 ids can't overflow)
-    def label_sum(df) -> object:
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev_sum = label_sum(labels)
+    # convergence check: a per-row changed flag (new neighbor-min
+    # strictly below the old label) computed IN the propagation
+    # projection and summed in one aggregate — works for any id type
+    # (a numeric label-sum compare would NULL out on string doc_ids
+    # and silently 'converge'), and costs no extra join
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -500,16 +513,21 @@ def duplicate_components(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                (F.coalesce("nlabel", F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = label_sum(new_labels)
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels.unpersist()  # superseded checkpoint blocks
         labels = new_labels
-        if cur_sum == prev_sum:
+        if changed == 0:
+            edges.unpersist()
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("component_id")
             )
-        prev_sum = cur_sum
+    edges.unpersist()
     raise RuntimeError(
         f"duplicate_components did not converge in {max_iters} rounds — "
         "component diameter exceeds the bound; raise max_iters or use a "

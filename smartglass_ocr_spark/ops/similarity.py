@@ -153,13 +153,16 @@ def cosine_topk(
     # then rank the k survivors. The partition key must be NON-FOLDABLE
     # to silence WindowExec's "No Partition Defined" warning — r2 used
     # partitionBy(lit(0)) and Catalyst folded the constant partition
-    # away, so the warning still fired. vec_id * 0 is constant per row
-    # but not compile-time foldable (vec_id could be null as far as the
-    # optimizer knows), so the single explicit partition survives; the
-    # window still runs on only the k surviving rows.
-    w = Window.partitionBy(F.col("vec_id") * F.lit(0)).orderBy(
-        F.desc("cos"), F.asc("vec_id")
-    )
+    # away, so the warning still fired. coalesce(length(string(id))*0,
+    # 0) is 0 for EVERY row and every id type — a bare vec_id * 0
+    # would be NULL for non-numeric string ids (splitting the window
+    # into two partitions with duplicate ranks) or THROW under Spark
+    # 4's default ANSI cast — yet it is not compile-time foldable, so
+    # the single explicit partition survives; the window still runs
+    # on only the k surviving rows.
+    w = Window.partitionBy(
+        F.coalesce(F.length(F.col("vec_id").cast("string")) * F.lit(0), F.lit(0))
+    ).orderBy(F.desc("cos"), F.asc("vec_id"))
     ranked = (
         scored.orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(k)

@@ -173,15 +173,22 @@ def signage_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
             hit = hit | lowered.contains(w)
         expr = F.when(hit, F.lit(cls)).otherwise(expr)
     cls_col = F.when(text.isNull() | (text == ""), F.lit("unknown")).otherwise(expr)
+    # two-step select: the class ladder (~30 contains over 10 CASEs)
+    # is MATERIALIZED as a column first, then the description ladder
+    # switches on that column — inlining cls_col into each of the 10
+    # description branches would clone the whole ladder 11x (codegen
+    # bloat toward the 64KB method limit, per-row re-evaluation)
+    classed = docs.select("doc_id", text.alias("_text"), cls_col.alias("signage_class"))
+    t = F.col("_text")
     general_desc = F.when(
-        text.contains("\n"),
+        t.contains("\n"),
         F.concat(
             F.lit('This sign contains the main text "'),
-            F.split(text, "\n").getItem(0),
+            F.split(t, "\n").getItem(0),
             F.lit('" followed by additional information.'),
         ),
     ).otherwise(F.lit("This appears to be a general informational sign or banner."))
     desc = general_desc
     for cls, d in _SIGNAGE_DESCRIPTIONS.items():
-        desc = F.when(cls_col == cls, F.lit(d)).otherwise(desc)
-    return docs.select("doc_id", cls_col.alias("signage_class"), desc.alias("description"))
+        desc = F.when(F.col("signage_class") == cls, F.lit(d)).otherwise(desc)
+    return classed.select("doc_id", "signage_class", desc.alias("description"))

@@ -495,3 +495,19 @@ def test_simhash_near_pairs_pigeonhole_exact(spark):
         simhash_near_pairs(docs, max_hamming=4, bands=4)
     with _pytest.raises(ValueError, match="divide 64"):
         simhash_near_pairs(docs, max_hamming=2, bands=5)
+
+
+def test_cosine_topk_string_ids_rank_contiguously(spark):
+    """The rank window's constant partition key must be 0 for EVERY
+    row: with non-numeric string ids a bare id*0 key is NULL (ANSI
+    cast even throws), splitting the window and duplicating ranks."""
+    from smartglass_ocr_spark.ops.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [("doc-1", [1.0, 0.0]), ("doc-2", [0.9, 0.1]),
+         ("x3", [0.5, 0.5]), ("4", [0.1, 0.9])],
+        "vec_id string, embedding array<float>",
+    )
+    rows = cosine_topk(emb, [1.0, 0.0], k=4).collect()
+    assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
+    assert rows[0]["vec_id"] == "doc-1"
