@@ -478,9 +478,9 @@ def duplicate_components(
     stopping at the fixpoint (an anti-join equality check per round).
     Rounds needed = graph diameter; near-dup components are tiny
     dense cliques (diameter 1-2) so this converges in 2-3 rounds —
-    the classic pathological chain would need the large-star/
-    small-star reformulation (path doubling, O(log n) rounds), which
-    this deliberately avoids carrying until a real workload needs it.
+    the classic pathological chain is served by
+    :func:`duplicate_components_star` (large-star/small-star,
+    O(log n) rounds), labeling-equal by pytest.
     ``localCheckpoint`` truncates the growing lineage each round so
     the plan doesn't deepen with iterations. Raises if ``max_iters``
     rounds don't converge (determinism guard — never returns a
@@ -532,6 +532,82 @@ def duplicate_components(
         f"duplicate_components did not converge in {max_iters} rounds — "
         "component diameter exceeds the bound; raise max_iters or use a "
         "path-doubling formulation"
+    )
+
+
+def duplicate_components_star(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round path for graphs with LONG chains,
+    where :func:`duplicate_components`' hop propagation needs
+    O(diameter) rounds. Near-dup graphs are usually shallow cliques
+    (hop propagation converges in 2-3 cheap rounds), so this variant
+    exists for the adversarial shape: a chain of pairwise-similar
+    documents thousands of hops deep.
+
+    Each round: large-star — every node connects its strictly larger
+    neighbors to its smallest neighbor-or-self; small-star — every
+    node connects its smaller-or-equal neighbors to the same min.
+    Both preserve connectivity and monotonically pull edges toward
+    each component's minimum until the edge set is a star forest
+    rooted at the component minima. Convergence is detected exactly
+    (``exceptAll`` emptiness — set equality, not a checksum); output
+    matches :func:`duplicate_components` row-for-row (pytest-pinned
+    on random graphs and deep chains)."""
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min(Γ(u) ∪ {u}); adjacency carried as directed rows
+        m = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        joined = e.join(m, "u")
+        sel = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = joined.filter(sel).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        if not large:
+            out = out.union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        und = out.filter(F.col("a") != F.col("b"))
+        return (
+            und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        new_edges = star(star(edges, large=True), large=False).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if changed == 0:
+            # star forest: every remaining edge is (member, root);
+            # roots themselves map to their own id. Isolated original
+            # nodes (self-pairs only) fold to themselves via all_nodes.
+            roots = edges.groupBy("u").agg(F.min("v").alias("_m"))
+            labels = (
+                all_nodes.join(roots, all_nodes.node == roots.u, "left")
+                .select(
+                    "node",
+                    F.least(F.col("node"), F.coalesce("_m", F.col("node"))).alias(
+                        "component_id"
+                    ),
+                )
+            )
+            return labels.select(F.col("node").alias("doc_id"), "component_id")
+    raise RuntimeError(
+        f"duplicate_components_star did not converge in {max_iters} rounds"
     )
 
 

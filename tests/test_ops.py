@@ -511,3 +511,31 @@ def test_cosine_topk_string_ids_rank_contiguously(spark):
     rows = cosine_topk(emb, [1.0, 0.0], k=4).collect()
     assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4]
     assert rows[0]["vec_id"] == "doc-1"
+
+
+def test_star_components_equal_hop_propagation(spark):
+    """large-star/small-star must produce exactly the labeling of the
+    hop-propagation operator on random graphs, and must converge in
+    O(log n) rounds on a 60-hop chain where hop propagation's default
+    budget (25) is exhausted."""
+    import random
+
+    from smartglass_ocr_spark.ops.dedup import (
+        duplicate_components, duplicate_components_star,
+    )
+
+    rng = random.Random(11)
+    rand_pairs = list({
+        tuple(sorted(rng.sample(range(300), 2))) for _ in range(260)
+    })
+    df = spark.createDataFrame(rand_pairs, "doc_a long, doc_b long")
+    hop = {tuple(r) for r in duplicate_components(df).collect()}
+    star = {tuple(r) for r in duplicate_components_star(df).collect()}
+    assert star == hop
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component_id"] for r in
+           duplicate_components_star(chain, max_iters=10).collect()}
+    assert got == {i: 0 for i in range(61)}
