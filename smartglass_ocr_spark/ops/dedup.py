@@ -5,25 +5,30 @@ functions only (JVM-side, codegen-friendly, shuffle-minimal):
 
 - exact:      md5 hash-groupBy clusters
 - normalized: canonicalized-text dedupe keeping the min doc_id
-- n-gram Jaccard: shingle self-join -> pair similarity
+- n-gram Jaccard: single-scan shingle bucket-collect -> in-row pair
+  generation -> pair similarity
 - MinHash+LSH: per-band lexical-min-of-md5 signatures (explode +
-  one partial-combining min agg) -> bucket join
-- SimHash:    32-bit weighted fingerprint from md5 hex-digit bits
-  (explode + one partial-combining 32-lane sum agg)
+  one partial-combining min agg) -> single-scan bucket-collect pairs
+- SimHash:    32- and 64-bit weighted fingerprints from md5
+  hex-digit bits (explode + one partial-combining lane-sum agg) +
+  banded Hamming near-pairs
 - fingerprint: single-permutation min-md5-shingle (same explode +
   min-agg shape; the narrow HOF twin exists for streaming only)
+- clustering: candidate pairs -> connected components (hop
+  propagation for shallow dup cliques; large-star/small-star for
+  deep chains) -> keep-list
 
 Determinism note: every hash is md5-hex (identical in Spark and
 DuckDB), never xxhash/murmur (engine-specific), so each operator has
 an exact SQL oracle. MinHash uses the *lexical* min of md5 strings —
 a valid uniform permutation min because md5 is uniform on hex strings.
 
-Scale notes (100 TB): the shingle explode is a narrow stage; the
-self-join shuffles on the shingle key, whose skew (stop-shingles
-appearing in millions of docs) is the classic hot-key problem —
-``max_shingle_docs`` drops shingles above a document-frequency cap
-before the join (standard LSH-banding practice), bounding pair
-blowup; AQE skew-join splits the rest.
+Scale notes (100 TB): the shingle explode is a narrow stage; every
+pair generator buckets on an equi-key (shingle / band signature /
+band bits) so there is no all-pairs scan anywhere; hot-key blowup is
+bounded twice — ``max_shingle_docs`` drops stop-shingles above a
+document-frequency cap, ``max_bucket_docs`` drops degenerate
+mass-duplicate buckets (run exact dedup first and neither fires).
 """
 
 from __future__ import annotations
