@@ -1342,15 +1342,27 @@ def oracle_sql() -> dict[str, str]:
                        sum(sum_value) AS sum_value
                 FROM hour GROUP BY 1, 2
             )
+            -- avg on the integer ten-thousandths grid (cents*100/n):
+            -- division ties become EXACT doubles, which both engines
+            -- round away from zero — round(total/n, 4) broke on
+            -- boundary quotients like 1512.12/32 = 47.25375
             SELECT 'minute' AS grain, bucket_start_s, event_type, n,
                    round(sum_value, 2) AS total_value,
-                   round(round(sum_value, 2) / n, 4) AS avg_value FROM minute
+                   CAST(round(CAST(round(round(sum_value, 2) * 100) AS BIGINT)
+                              * 100 / n) AS BIGINT) / 10000.0 AS avg_value
+            FROM minute
             UNION ALL
             SELECT 'hour', bucket_start_s, event_type, n,
-                   round(sum_value, 2), round(round(sum_value, 2) / n, 4) FROM hour
+                   round(sum_value, 2),
+                   CAST(round(CAST(round(round(sum_value, 2) * 100) AS BIGINT)
+                              * 100 / n) AS BIGINT) / 10000.0
+            FROM hour
             UNION ALL
             SELECT 'day', bucket_start_s, event_type, n,
-                   round(sum_value, 2), round(round(sum_value, 2) / n, 4) FROM day
+                   round(sum_value, 2),
+                   CAST(round(CAST(round(round(sum_value, 2) * 100) AS BIGINT)
+                              * 100 / n) AS BIGINT) / 10000.0
+            FROM day
         """,
         "value_percentiles": """
             SELECT event_type,

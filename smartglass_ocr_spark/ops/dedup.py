@@ -565,22 +565,36 @@ def duplicate_components_star(
     matches :func:`duplicate_components` row-for-row (pytest-pinned
     on random graphs and deep chains)."""
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # node universe BEFORE the self-loop filter: a doc appearing only
+    # in a self-pair must still label itself (row-for-row parity with
+    # duplicate_components, whose edge union keeps such nodes)
+    all_nodes = (
+        fwd.select(F.col("u").alias("node"))
+        .union(fwd.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = (
         fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    all_nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         # m(u) = min(Γ(u) ∪ {u}); adjacency carried as directed rows
         m = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        joined = e.join(m, "u")
         sel = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        out = joined.filter(sel).select(F.col("v").alias("a"), F.col("m").alias("b"))
+        out = (
+            e.join(m, "u")
+            .filter(sel)
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
         if not large:
-            out = out.union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            # the (u, m(u)) self-star edge: once per NODE from m —
+            # emitting it per edge row would inflate the pre-distinct
+            # volume by each node's degree (2|E| extra rows)
+            out = out.union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
         und = out.filter(F.col("a") != F.col("b"))
         return (
             und.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -588,8 +602,20 @@ def duplicate_components_star(
             .distinct()
         )
 
+    def finish(labels_df: DataFrame) -> DataFrame:
+        out = labels_df.localCheckpoint(eager=True)
+        edges.unpersist()
+        all_nodes.unpersist()
+        return out
+
     for _ in range(max_iters):
-        new_edges = star(star(edges, large=True), large=False).localCheckpoint(eager=True)
+        # checkpoint between the two passes: the outer star references
+        # its input multiple times and Catalyst does NOT reuse the
+        # duplicated subtrees (measured on the pair self-joins), so an
+        # un-materialized large-star would re-execute ~4x per round
+        half = star(edges, large=True).localCheckpoint(eager=True)
+        new_edges = star(half, large=False).localCheckpoint(eager=True)
+        half.unpersist()
         changed = (
             new_edges.exceptAll(edges).limit(1).count()
             + edges.exceptAll(new_edges).limit(1).count()
@@ -598,19 +624,20 @@ def duplicate_components_star(
         edges = new_edges
         if changed == 0:
             # star forest: every remaining edge is (member, root);
-            # roots themselves map to their own id. Isolated original
-            # nodes (self-pairs only) fold to themselves via all_nodes.
+            # roots and isolated nodes map to their own id
             roots = edges.groupBy("u").agg(F.min("v").alias("_m"))
             labels = (
                 all_nodes.join(roots, all_nodes.node == roots.u, "left")
                 .select(
-                    "node",
+                    F.col("node").alias("doc_id"),
                     F.least(F.col("node"), F.coalesce("_m", F.col("node"))).alias(
                         "component_id"
                     ),
                 )
             )
-            return labels.select(F.col("node").alias("doc_id"), "component_id")
+            return finish(labels)
+    edges.unpersist()
+    all_nodes.unpersist()
     raise RuntimeError(
         f"duplicate_components_star did not converge in {max_iters} rounds"
     )

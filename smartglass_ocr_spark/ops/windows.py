@@ -432,17 +432,26 @@ def _rollup_lift(df: DataFrame, seconds: int) -> DataFrame:
 
 def _rollup_project(df: DataFrame, grain: str) -> DataFrame:
     total = F.round("sum_value", 2)
+    # avg on an INTEGER ten-thousandths grid: deriving avg from the
+    # rounded total (r2) fixed summation-order ulps, but round(total/n,
+    # 4) still disagreed between engines when the true quotient lands
+    # exactly on a 4dp boundary (e.g. 1512.12/32 = 47.25375 — the
+    # nearest double is a hair off the tie and Spark's HALF_UP-on-
+    # decimal vs DuckDB's float round break opposite ways; 4 rows at
+    # sf0.1). cents*100/n makes such ties EXACT doubles (integer
+    # numerator; power-of-two n), and both engines round an exact .5
+    # away from zero, so the rounding is bit-identical; /1e4 then maps
+    # the same integer to the same double on both sides.
+    cents = F.round(total * 100).cast("long")
     return df.select(
         F.lit(grain).alias("grain"),
         "bucket_start_s",
         "event_type",
         "n",
         total.alias("total_value"),
-        # derive avg from the ROUNDED total: the raw sums differ in
-        # the last ulp between engines (summation order), which flips
-        # a 4dp rounding on boundary values; the rounded totals are
-        # bit-identical, so the division is too
-        F.round(total / F.col("n"), 4).alias("avg_value"),
+        (F.round(cents * 100 / F.col("n")).cast("long") / F.lit(10_000.0)).alias(
+            "avg_value"
+        ),
     )
 
 

@@ -528,6 +528,8 @@ def test_star_components_equal_hop_propagation(spark):
     rand_pairs = list({
         tuple(sorted(rng.sample(range(300), 2))) for _ in range(260)
     })
+    # a self-pair-only node must label itself in BOTH operators
+    rand_pairs.append((777, 777))
     df = spark.createDataFrame(rand_pairs, "doc_a long, doc_b long")
     hop = {tuple(r) for r in duplicate_components(df).collect()}
     star = {tuple(r) for r in duplicate_components_star(df).collect()}
