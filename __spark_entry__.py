@@ -635,7 +635,10 @@ _SIMHASH64_CTE = """
 
 # MinHash band-signature candidate pairs (shared by the pair query
 # and the components query): band b permutation = nibble-group
-# rotation of one shared md5 per shingle
+# rotation of one shared md5 per shingle. The bwidth filter models
+# the engine's max_bucket_docs=1000 degenerate-bucket cap (r3 ADVICE:
+# the engine ran capped while the oracle generated pairs uncapped —
+# a latent divergence on any >1000-member duplicate bucket).
 _MINHASH_PAIRS_CTE = """
     toks AS (
         SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
@@ -648,10 +651,13 @@ _MINHASH_PAIRS_CTE = """
                    || substr(h, 1, CAST(4 * band AS INT))) AS sig
         FROM sh, UNNEST(range(0, 8)) AS t(band)
         GROUP BY doc_id, band
+    ), bwidth AS (
+        SELECT band, sig, count(*) AS k FROM sigs GROUP BY band, sig
     ), mh_pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sigs a JOIN sigs b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        JOIN bwidth w ON w.band = a.band AND w.sig = a.sig AND w.k <= 1000
     )
 """
 
@@ -896,9 +902,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
             ), sizes AS (
                 SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), swidth AS (
+                -- engine's max_bucket_docs=1000 bucket-width cap: a
+                -- shingle's bucket width IS its document frequency;
+                -- over-cap shingles drop from pair generation but
+                -- still count toward n_shingles (sizes above)
+                SELECT shingle, count(*) AS k FROM sh GROUP BY shingle
             ), common AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                JOIN swidth w ON w.shingle = a.shingle AND w.k <= 1000
                 GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
@@ -959,11 +972,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, simhash, band,
                        (simhash >> (band * 16)) & 65535 AS bits
                 FROM sims64, (SELECT unnest(generate_series(0, 3)) AS band)
+            ), bwidth AS (
+                -- engine's max_bucket_docs=1000 degenerate-bucket cap
+                SELECT band, bits, count(*) AS k FROM banded GROUP BY band, bits
             ), cands AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.simhash AS sa, b.simhash AS sb
                 FROM banded a JOIN banded b
                   ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+                JOIN bwidth w ON w.band = a.band AND w.bits = a.bits AND w.k <= 1000
             )
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sa, sb)) AS INT) AS hamming

@@ -116,6 +116,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     max_shingle_docs: int | None = 1000,
+    max_bucket_docs: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard >= threshold.
 
@@ -130,11 +131,21 @@ def jaccard_pairs(
     ONE corpus scan: group the shingle rows by shingle into sorted
     member arrays (with each member's doc size riding along) and
     emit the co-occurrence pairs in-row, exactly like
-    :func:`minhash_lsh_candidates`. Shingle-bucket fan-in is the
-    hot-key risk the ``max_shingle_docs`` document-frequency cap
-    already bounds — standard LSH-banding practice, and the cap
-    now also bounds the per-row member-array width.
-    """
+    :func:`minhash_lsh_candidates`.
+
+    Two independent hot-key caps (both optional, both default 1000):
+    ``max_shingle_docs`` drops stop-shingles above a document-
+    frequency threshold BEFORE sizes are computed (changing each
+    doc's effective shingle set, i.e. the Jaccard denominator), while
+    ``max_bucket_docs`` caps the collected member-array WIDTH — the
+    r3 bucket-collect shape concentrates a hot shingle's whole
+    membership plus k(k-1)/2 pair structs into ONE row, so with both
+    caps disabled a boilerplate shingle shared by 10^5 docs is a
+    single-row executor OOM, not just a row-count blowup (r3 ADVICE).
+    A bucket over the width cap is dropped from pair generation but
+    still counts toward each member's ``n_shingles`` denominator
+    (sizes are attached before the bucket filter). Mass duplicates
+    belong to exact dedup first; after that neither cap fires."""
     from pyspark.sql.window import Window
 
     sh = shingle_rows(docs, n=n, text_col=text_col)
@@ -147,6 +158,11 @@ def jaccard_pairs(
     shs = sh.withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
+    width_ok = (
+        (F.size("_ms") <= max_bucket_docs)
+        if max_bucket_docs is not None
+        else F.lit(True)
+    )
     buckets = (
         shs.groupBy("shingle")
         .agg(
@@ -154,7 +170,7 @@ def jaccard_pairs(
                 F.collect_list(F.struct("doc_id", "n_shingles"))
             ).alias("_ms")
         )
-        .filter(F.size("_ms") > 1)
+        .filter((F.size("_ms") > 1) & width_ok)
     )
     # in-row pair generation over the (doc_id-sorted) member array:
     # doc_a < doc_b by construction, sizes ride along
@@ -242,7 +258,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     n: int = 5,
     text_col: str = "text",
-    max_bucket_docs: int = 1000,
+    max_bucket_docs: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band signature
     (rows-per-band=1 LSH).
@@ -272,10 +288,15 @@ def minhash_lsh_candidates(
     surviving row at ~500k structs (~10 MB) and never fires on a
     corpus whose exact dups were already folded."""
     sigs = minhash_band_signatures(docs, bands=bands, n=n, text_col=text_col)
+    width_ok = (
+        (F.size("_ds") <= max_bucket_docs)
+        if max_bucket_docs is not None
+        else F.lit(True)
+    )
     buckets = (
         sigs.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("_ds"))
-        .filter((F.size("_ds") > 1) & (F.size("_ds") <= max_bucket_docs))
+        .filter((F.size("_ds") > 1) & width_ok)
     )
     pairs = F.flatten(
         F.transform(
@@ -383,7 +404,7 @@ def simhash_near_pairs(
     bands: int = 4,
     text_col: str = "text",
     bits: int = 64,
-    max_bucket_docs: int = 1000,
+    max_bucket_docs: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: docs whose simhash differs in at
     most ``max_hamming`` bits. (:func:`simhash64` / :func:`simhash32`
@@ -430,10 +451,15 @@ def simhash_near_pairs(
     banded = sims.select(
         "doc_id", "simhash", F.explode(band_pairs).alias("bp")
     ).select("doc_id", "simhash", "bp.band", "bp.bits")
+    width_ok = (
+        (F.size("_ms") <= max_bucket_docs)
+        if max_bucket_docs is not None
+        else F.lit(True)
+    )
     buckets = (
         banded.groupBy("band", "bits")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("_ms"))
-        .filter((F.size("_ms") > 1) & (F.size("_ms") <= max_bucket_docs))
+        .filter((F.size("_ms") > 1) & width_ok)
     )
     pair_structs = F.flatten(
         F.transform(

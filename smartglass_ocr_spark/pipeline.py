@@ -459,10 +459,16 @@ def run_pipeline_skew_routed(span_rows: DataFrame,
             f"more than {max_mega_docs} docs exceed {mega_doc_spans} spans — "
             "not a heavy tail; raise mega_doc_spans or use run_pipeline_rows"
         )
-    small_out = run_pipeline_fused(span_rows.filter(~F.col("doc_id").isin(mega_ids)))
+    # NULL-SAFE routing: isin/~isin both evaluate to NULL on a NULL
+    # doc_id, silently dropping such rows from BOTH branches (r3
+    # ADVICE) — coalesce(False) sends them to the small branch, where
+    # the fused groupBy keeps them as one group exactly like an
+    # unrouted run would
+    is_mega = F.coalesce(F.col("doc_id").isin(mega_ids), F.lit(False))
+    small_out = run_pipeline_fused(span_rows.filter(~is_mega))
     n_parts = span_rows.sparkSession.sparkContext.defaultParallelism
     cleaned = classify_and_clean(
-        span_rows.filter(F.col("doc_id").isin(mega_ids)).repartition(n_parts)
+        span_rows.filter(is_mega).repartition(n_parts)
     )
 
     def meta_tail(key, pdf):
@@ -480,7 +486,14 @@ def run_pipeline_skew_routed(span_rows: DataFrame,
                 pdf["media_ref"].tolist(), pdf["offset"].tolist(),
             )
         ]
-        hist = {k: int(v) for k, v in pdf["block_class"].value_counts().items()}
+        # histogram in span-offset iteration order (NOT value_counts's
+        # count-descending order): golden.process_document inserts keys
+        # at first occurrence in span order, and the routed output is
+        # meant to be byte-identical even under a serialization that
+        # preserves dict order (r3 ADVICE)
+        hist: dict[str, int] = {}
+        for c in pdf["block_class"].tolist():
+            hist[c] = hist.get(c, 0) + 1
         return pd.DataFrame([document_metadata(key[0], out_spans, hist)])
 
     mega_out = cleaned.groupBy("doc_id").applyInPandas(meta_tail, _DOC_OUT_SCHEMA)

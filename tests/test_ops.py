@@ -56,6 +56,34 @@ def test_jaccard_pairs(docs):
     assert not any(4 in p for p in pairs)  # unrelated doc joins nothing
 
 
+def test_jaccard_bucket_width_cap(spark):
+    """max_bucket_docs drops over-wide shingle buckets from pair
+    generation (the r3-ADVICE OOM guard on the bucket-collect shape)
+    while leaving each doc's n_shingles denominator intact — with
+    unigram shingles, 'x' is shared by all three docs, so cap=2 kills
+    every pair and cap=None yields all three at jaccard 1/3."""
+    from smartglass_ocr_spark.ops.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x a"), (2, "x b"), (3, "x c")], "doc_id long, text string"
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(
+            docs, n=1, threshold=0.3, max_shingle_docs=None, max_bucket_docs=None
+        ).collect()
+    }
+    assert uncapped == {
+        (1, 2): pytest.approx(1 / 3, abs=1e-6),
+        (1, 3): pytest.approx(1 / 3, abs=1e-6),
+        (2, 3): pytest.approx(1 / 3, abs=1e-6),
+    }
+    capped = jaccard_pairs(
+        docs, n=1, threshold=0.0, max_shingle_docs=None, max_bucket_docs=2
+    ).collect()
+    assert capped == []
+
+
 def test_minhash_candidates_superset_of_true_dups(docs):
     from smartglass_ocr_spark.ops.dedup import minhash_lsh_candidates
 

@@ -343,6 +343,60 @@ def test_skew_routed_no_mega_docs_is_fused(spark):
     assert a == b
 
 
+def test_skew_routed_null_doc_id_not_dropped(spark):
+    """NULL-doc_id rows must survive routing (r3 ADVICE: non-null-safe
+    isin/~isin dropped them from BOTH branches): the routed output
+    keeps the NULL-keyed group exactly as the fused path does."""
+    from smartglass_ocr_spark.corpus import SPAN_STRUCT
+    from smartglass_ocr_spark.pipeline import (
+        explode_spans, run_pipeline_fused, run_pipeline_skew_routed,
+    )
+
+    df = docs_to_df(spark, generate_docs(n_docs=6, seed=3, mega_doc_spans=3000))
+    null_doc = spark.createDataFrame(
+        [(None, [("para", "Null keyed doc survives routing.", None, 0)])],
+        f"doc_id string, spans array<{SPAN_STRUCT}>",
+    )
+    rows = explode_spans(df.unionByName(null_doc))
+    fused = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in run_pipeline_fused(rows).collect()
+    }
+    routed = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in run_pipeline_skew_routed(rows, mega_doc_spans=1000).collect()
+    }
+    assert None in fused and None in routed
+    assert fused == routed
+
+
+def test_skew_routed_hist_key_order_matches_fused(spark):
+    """The mega branch's block_class_hist must match the fused path in
+    key ORDER (first-occurrence span order), not just dict equality —
+    a bytewise row comparison after serialization depends on it (r3
+    ADVICE: value_counts built it count-descending)."""
+    from smartglass_ocr_spark.pipeline import (
+        explode_spans, run_pipeline_fused, run_pipeline_skew_routed,
+    )
+
+    df = docs_to_df(
+        spark, generate_docs(n_docs=8, seed=5, scramble=True, mega_doc_spans=3000)
+    )
+    rows = explode_spans(df)
+    fused = {
+        r["doc_id"]: list((r["block_class_hist"] or {}).keys())
+        for r in run_pipeline_fused(rows).collect()
+    }
+    routed = {
+        r["doc_id"]: list((r["block_class_hist"] or {}).keys())
+        for r in run_pipeline_skew_routed(rows, mega_doc_spans=1000).collect()
+    }
+    assert fused == routed
+    # the mega doc actually took the routed branch and has >1 class
+    mega = next(d for d in fused if "mega" in d)
+    assert len(fused[mega]) > 1
+
+
 def test_doc_span_cap_equals_pretruncated(spark):
     """The max_doc_spans/max_doc_bytes cap must equal processing a
     corpus truncated up front with golden.truncate_doc_spans (the
