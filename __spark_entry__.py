@@ -351,6 +351,59 @@ def _q_pipeline_doc_meta(spark, sf_dir):
     )
 
 
+def _q_pipeline_skeleton(spark, sf_dir):
+    # r3 VERDICT #1: the three pipeline_* queries stay no-oracle only
+    # because their regex BODY uses lookbehind (not in DuckDB's RE2) —
+    # but the part of them that exercises SPARK (span derivation ->
+    # explode -> offset-ordered reassembly -> span/kind/media counts ->
+    # length-gated status) is plain SQL. This query runs exactly that
+    # skeleton pre-cleaning on the md5 derivation path: per doc, the
+    # span count, media-span count, total raw text length, an md5 over
+    # the reading-ordered (kind, offset, media_ref, text-md5) sequence
+    # (reference reading-order reassembly: lib/ocr_engines.py:205), and
+    # a length-gated status — so the shuffle/assembly path of the
+    # un-oracled pipeline queries is itself hash-pinned to DuckDB.
+    from smartglass_ocr_spark.corpus import span_rows_from_flat
+
+    rows = span_rows_from_flat(_t(spark, sf_dir, "documents"), kind_hash="md5")
+    entry = F.concat_ws(
+        ":",
+        "kind",
+        F.col("offset").cast("string"),
+        F.coalesce("media_ref", F.lit("")),
+        F.coalesce(F.md5("text"), F.lit("")),
+    )
+    per_doc = rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(
+            F.when(F.col("kind").isin("image", "video", "audio"), 1).otherwise(0)
+        ).alias("n_media"),
+        F.sum(F.length(F.coalesce("text", F.lit("")))).alias("n_text_chars"),
+        # offsets are unique per doc (offset = 7i + h%5, strides never
+        # overlap), so sorting (offset, entry) structs is a total order
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("offset", entry.alias("e")))),
+                    lambda s: s["e"],
+                ),
+                "|",
+            )
+        ).alias("seq_md5"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_media",
+        "n_text_chars",
+        "seq_md5",
+        F.when(F.col("n_text_chars") >= 20, "ok")
+        .when(F.col("n_text_chars") > 0, "short")
+        .otherwise("empty")
+        .alias("len_status"),
+    )
+
+
 def _q_session_window(spark, sf_dir):
     from smartglass_ocr_spark.streaming import session_window_agg
 
@@ -542,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "pipeline_extract": _q_pipeline_extract,
         "pipeline_doc_meta": _q_pipeline_doc_meta,
+        "pipeline_skeleton": _q_pipeline_skeleton,
         "session_window": _q_session_window,
         "entity_harvest": _q_entity_harvest,
         "signage_content": _q_signage_content,
@@ -1056,6 +1110,74 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_tokens >= 10 THEN 'review'
                         ELSE 'drop' END AS quality_bucket
             FROM f
+        """,
+        # DuckDB twin of corpus.span_rows_from_flat(kind_hash='md5') in
+        # FULL (kinds, offsets, media_refs AND chunked span text) +
+        # the reading-order reassembly skeleton of the pipeline_*
+        # queries: per doc, span/media counts, raw text length, the
+        # md5 of the offset-ordered (kind, offset, media_ref, text-md5)
+        # sequence, and the length-gated status. Offsets are unique per
+        # doc (7i + h%5), so ORDER BY off is a total order on both
+        # sides.
+        "pipeline_skeleton": r"""
+            WITH base AS (
+                SELECT printf('doc-%012d', doc_id) AS doc_id,
+                       regexp_split_to_array(text, '\s+') AS w
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, w, greatest(1, least(8, len(w))) AS n FROM base
+            ), chunked AS (
+                SELECT doc_id, w, n,
+                       CAST(ceil(len(w) / CAST(n AS DOUBLE)) AS INT) AS chunk
+                FROM sized
+            ), idx AS (
+                SELECT doc_id, w, chunk,
+                       unnest(generate_series(0, n - 1)) AS i
+                FROM chunked
+            ), hashed AS (
+                SELECT doc_id, w, chunk, i,
+                       ('0x' || substr(md5(doc_id || ':' || i), 1, 8))::BIGINT AS h32
+                FROM idx
+            ), spans AS (
+                SELECT doc_id,
+                       list_extract(
+                           ['para','para','para','heading','list','html',
+                            'pdf_line','table','form','receipt','id_card',
+                            'scientific','image','video','audio','para'],
+                           CAST(h32 % 16 AS INT) + 1) AS kind,
+                       CAST(i * 7 + (h32 % 5) AS INT) AS off,
+                       -- coalesce: array_to_string of an EMPTY slice
+                       -- (past-the-end chunk) is NULL in DuckDB but
+                       -- '' under Spark's concat_ws
+                       coalesce(array_to_string(
+                           w[CAST(i * chunk + 1 AS INT) : CAST(i * chunk + chunk AS INT)],
+                           ' '), '') AS txt
+                FROM hashed
+            ), typed AS (
+                SELECT doc_id, kind, off,
+                       CASE WHEN kind IN ('image','video','audio')
+                            THEN 'm-' || substr(md5(doc_id || ':' || off), 1, 12)
+                       END AS media_ref,
+                       CASE WHEN kind IN ('image','video','audio')
+                            THEN NULL ELSE txt END AS stext
+                FROM spans
+            ), agged AS (
+                SELECT doc_id,
+                       count(*) AS n_spans,
+                       CAST(sum(CASE WHEN kind IN ('image','video','audio')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+                       CAST(sum(length(coalesce(stext, ''))) AS BIGINT) AS n_text_chars,
+                       md5(string_agg(
+                           kind || ':' || off || ':' || coalesce(media_ref, '')
+                                || ':' || coalesce(md5(stext), ''),
+                           '|' ORDER BY off)) AS seq_md5
+                FROM typed GROUP BY doc_id
+            )
+            SELECT doc_id, n_spans, n_media, n_text_chars, seq_md5,
+                   CASE WHEN n_text_chars >= 20 THEN 'ok'
+                        WHEN n_text_chars > 0 THEN 'short'
+                        ELSE 'empty' END AS len_status
+            FROM agged
         """,
         "session_window": """
             WITH flagged AS (
