@@ -245,13 +245,25 @@ def _q_dedup_keep_list(spark, sf_dir):
     # component (the min id), drop the rest — emitted as the surviving
     # corpus id list via LEFT ANTI join against the drop set
     from smartglass_ocr_spark.ops.dedup import (
-        duplicate_components, minhash_lsh_candidates,
+        dedup_keep_list, duplicate_components, minhash_lsh_candidates,
     )
 
     docs = _t(spark, sf_dir, "documents")
     comps = duplicate_components(minhash_lsh_candidates(docs, bands=8, n=5))
-    drops = comps.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
-    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+    return dedup_keep_list(docs, comps, keep="min_id")
+
+
+def _q_dedup_keep_longest(spark, sf_dir):
+    # non-default keep policy (r3 VERDICT #5): keep the LONGEST doc of
+    # each component (ties -> smaller doc_id), the policy a training
+    # pipeline actually wants — oracled via a ranked window in DuckDB
+    from smartglass_ocr_spark.ops.dedup import (
+        dedup_keep_list, duplicate_components, minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = duplicate_components(minhash_lsh_candidates(docs, bands=8, n=5))
+    return dedup_keep_list(docs, comps, keep="longest")
 
 
 def _q_doc_fingerprint(spark, sf_dir):
@@ -586,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_components": _q_dedup_components,
         "dedup_keep_list": _q_dedup_keep_list,
+        "dedup_keep_longest": _q_dedup_keep_longest,
         "lang_id_counts": _q_lang_id_counts,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
@@ -1011,6 +1024,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM comps c
                 WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component_id
+            )
+        """,
+        "dedup_keep_longest": "WITH RECURSIVE " + _MINHASH_PAIRS_CTE + """
+            , edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
+            ), reach(node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comps AS (
+                SELECT node AS doc_id, min(label) AS component_id
+                FROM reach GROUP BY node
+            ), ranked AS (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.component_id
+                           ORDER BY length(d.text) DESC, c.doc_id
+                       ) AS rk
+                FROM comps c JOIN documents d ON d.doc_id = c.doc_id
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ranked r WHERE r.doc_id = d.doc_id AND r.rk > 1
             )
         """,
         "dedup_simhash": "WITH " + _SIMHASH_CTE + """

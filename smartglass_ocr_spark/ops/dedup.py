@@ -669,6 +669,64 @@ def duplicate_components_star(
     )
 
 
+def dedup_keep_list(
+    docs: DataFrame,
+    components: DataFrame,
+    keep: str = "min_id",
+    text_col: str = "text",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Surviving ``doc_id`` list after keeping exactly ONE document
+    per duplicate component (r3 VERDICT #5: real training pipelines
+    keep the *best* doc per component, not the smallest id).
+
+    ``keep`` policies:
+
+    - ``"min_id"``  — keep the component's minimum doc_id. Free: the
+      component label IS that id, so the drop set needs no doc join.
+    - ``"longest"`` — keep the doc with the longest ``text_col``
+      (training-data default: the longest copy usually carries the
+      least truncation); ties break to the smaller doc_id.
+    - ``"max_quality"`` — keep the doc with the highest
+      ``quality_col`` value; ties break to the smaller doc_id.
+
+    Shape: the metric join is an equi-join of the (tiny) component
+    rows against the doc table; the per-component argmax is a window
+    over component_id — each partition is one duplicate cluster
+    (bounded by the candidate-generator bucket caps), never the
+    corpus. Output = docs LEFT ANTI the drop set, preserving
+    singletons (docs in no pair) for free."""
+    if keep == "min_id":
+        drops = components.filter(
+            F.col("doc_id") != F.col("component_id")
+        ).select("doc_id")
+    elif keep in ("longest", "max_quality"):
+        if keep == "longest":
+            metric = F.length(F.col(text_col))
+        else:
+            if quality_col is None:
+                raise ValueError("keep='max_quality' requires quality_col")
+            metric = F.col(quality_col)
+        from pyspark.sql.window import Window
+
+        scored = components.select("doc_id", "component_id").join(
+            docs.select("doc_id", metric.alias("_m")), "doc_id"
+        )
+        w = Window.partitionBy("component_id").orderBy(
+            F.desc("_m"), F.asc("doc_id")
+        )
+        drops = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") > 1)
+            .select("doc_id")
+        )
+    else:
+        raise ValueError(
+            f"keep must be 'min_id', 'longest' or 'max_quality', got {keep!r}"
+        )
+    return docs.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
 def min_shingle_fingerprint(
     n: int = 5, text_col: str | F.Column = "text"
 ) -> F.Column:

@@ -84,6 +84,47 @@ def test_jaccard_bucket_width_cap(spark):
     assert capped == []
 
 
+def test_dedup_keep_list_policies(spark):
+    """All three keep policies over a hand-built component map:
+    component {1,2,3} (labels -> 1), singleton 4 untouched. min_id
+    keeps 1; longest keeps 3 (longest text, ties impossible here);
+    max_quality keeps 2; ties in the metric break to the smaller id."""
+    from smartglass_ocr_spark.ops.dedup import dedup_keep_list
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa", 0.5),
+            (2, "aaaa", 0.9),
+            (3, "aaaaaa", 0.1),
+            (4, "zz", 0.2),
+        ],
+        "doc_id long, text string, q double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, component_id long"
+    )
+    def survivors(**kw):
+        return sorted(
+            r["doc_id"] for r in dedup_keep_list(docs, comps, **kw).collect()
+        )
+
+    assert survivors(keep="min_id") == [1, 4]
+    assert survivors(keep="longest") == [3, 4]
+    assert survivors(keep="max_quality", quality_col="q") == [2, 4]
+    # tie in the metric -> smaller doc_id wins
+    tied = spark.createDataFrame(
+        [(7, "xx", 1.0), (8, "yy", 1.0)], "doc_id long, text string, q double"
+    )
+    tcomps = spark.createDataFrame([(7, 7), (8, 7)], "doc_id long, component_id long")
+    assert sorted(
+        r["doc_id"] for r in dedup_keep_list(tied, tcomps, keep="longest").collect()
+    ) == [7]
+    with pytest.raises(ValueError):
+        dedup_keep_list(docs, comps, keep="max_quality")
+    with pytest.raises(ValueError):
+        dedup_keep_list(docs, comps, keep="bogus")
+
+
 def test_minhash_candidates_superset_of_true_dups(docs):
     from smartglass_ocr_spark.ops.dedup import minhash_lsh_candidates
 
