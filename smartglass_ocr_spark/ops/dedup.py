@@ -489,11 +489,38 @@ def simhash_near_pairs(
     )
 
 
+def _last_completed_round(spark, checkpoint_dir: str) -> int | None:
+    """Highest round whose state parquet was FULLY written: the rounds
+    log is append-only and a round's row is appended strictly after
+    its state files commit, so the max is always safe to read from."""
+    try:
+        return (
+            spark.read.parquet(f"{checkpoint_dir}/rounds")
+            .agg(F.max("round"))
+            .collect()[0][0]
+        )
+    except Exception:  # no log yet -> fresh start
+        return None
+
+
+def _mark_round(spark, checkpoint_dir: str, i: int) -> None:
+    spark.createDataFrame([(i,)], "round int").write.mode("append").parquet(
+        f"{checkpoint_dir}/rounds"
+    )
+
+
+def _durable(df: DataFrame, path: str) -> DataFrame:
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def duplicate_components(
     pairs: DataFrame,
     max_iters: int = 25,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected candidate-pair list
     (the tail of every dedup family: MinHash/Jaccard/SimHash emit
@@ -512,46 +539,73 @@ def duplicate_components(
     the classic pathological chain is served by
     :func:`duplicate_components_star` (large-star/small-star,
     O(log n) rounds), labeling-equal by pytest.
-    ``localCheckpoint`` truncates the growing lineage each round so
-    the plan doesn't deepen with iterations. Raises if ``max_iters``
-    rounds don't converge (determinism guard — never returns a
-    half-propagated labeling)."""
-    edges = pairs.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+
+    Durability (r3 VERDICT #2): by default each round truncates
+    lineage with ``localCheckpoint`` — executor-LOCAL blocks with no
+    recomputation fallback, right for a sandbox but a lost executor
+    mid-iteration kills the whole multi-round job on a real cluster.
+    ``checkpoint_dir`` swaps that for parquet-per-round state under
+    the given (per-invocation) directory: ``edges`` once,
+    ``labels_r{i}`` per round, and an append-only ``rounds`` log whose
+    row for round *i* commits strictly AFTER round *i*'s state files —
+    so ``resume=True`` restarts from the last FULLY-written round and
+    never reads a torn write. A resumed run yields the identical
+    labeling (pytest-pinned). Raises if ``max_iters`` rounds don't
+    converge (determinism guard — never returns a half-propagated
+    labeling)."""
+    spark = pairs.sparkSession
+    labels = None
+    start_round = 0
+    if checkpoint_dir is not None and resume:
+        last = _last_completed_round(spark, checkpoint_dir)
+        if last is not None:
+            edges = spark.read.parquet(f"{checkpoint_dir}/edges")
+            labels = spark.read.parquet(f"{checkpoint_dir}/labels_r{last:04d}")
+            start_round = last + 1
+    if labels is None:
+        edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        edges = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        edges = (
+            edges.localCheckpoint(eager=True)
+            if checkpoint_dir is None
+            else _durable(edges, f"{checkpoint_dir}/edges")
+        )
+        # initial labels: in durable mode this stays a (recomputable)
+        # plan over the durable edge files — no volatile blocks anywhere
+        labels = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+        if checkpoint_dir is None:
+            labels = labels.localCheckpoint(eager=True)
     # convergence check: a per-row changed flag (new neighbor-min
     # strictly below the old label) computed IN the propagation
     # projection and summed in one aggregate — works for any id type
     # (a numeric label-sum compare would NULL out on string doc_ids
     # and silently 'converge'), and costs no extra join
-    for _ in range(max_iters):
+    for i in range(start_round, max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
-                (F.coalesce("nlabel", F.col("label")) < F.col("label"))
-                .cast("int")
-                .alias("_chg"),
-            )
-            .localCheckpoint(eager=True)
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            (F.coalesce("nlabel", F.col("label")) < F.col("label"))
+            .cast("int")
+            .alias("_chg"),
         )
+        if checkpoint_dir is None:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = _durable(new_labels, f"{checkpoint_dir}/labels_r{i:04d}")
+            _mark_round(spark, checkpoint_dir, i)
         changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
-        labels.unpersist()  # superseded checkpoint blocks
+        labels.unpersist()  # superseded checkpoint blocks (no-op on parquet reads)
         labels = new_labels
         if changed == 0:
             edges.unpersist()
@@ -571,6 +625,8 @@ def duplicate_components_star(
     max_iters: int = 20,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -589,23 +645,44 @@ def duplicate_components_star(
     rooted at the component minima. Convergence is detected exactly
     (``exceptAll`` emptiness — set equality, not a checksum); output
     matches :func:`duplicate_components` row-for-row (pytest-pinned
-    on random graphs and deep chains)."""
+    on random graphs and deep chains).
+
+    ``checkpoint_dir``/``resume``: same durable parquet-per-round
+    protocol as :func:`duplicate_components` (state here is the
+    evolving EDGE set — ``all_nodes`` once, ``edges_r{i}`` per round,
+    append-only ``rounds`` log committed after each round's files);
+    use a separate directory per invocation."""
+    spark = pairs.sparkSession
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-    # node universe BEFORE the self-loop filter: a doc appearing only
-    # in a self-pair must still label itself (row-for-row parity with
-    # duplicate_components, whose edge union keeps such nodes)
-    all_nodes = (
-        fwd.select(F.col("u").alias("node"))
-        .union(fwd.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = (
-        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = None
+    start_round = 0
+    if checkpoint_dir is not None and resume:
+        last = _last_completed_round(spark, checkpoint_dir)
+        if last is not None:
+            all_nodes = spark.read.parquet(f"{checkpoint_dir}/all_nodes")
+            edges = spark.read.parquet(f"{checkpoint_dir}/edges_r{last:04d}")
+            start_round = last + 1
+    if edges is None:
+        # node universe BEFORE the self-loop filter: a doc appearing
+        # only in a self-pair must still label itself (row-for-row
+        # parity with duplicate_components, whose edge union keeps
+        # such nodes)
+        all_nodes = (
+            fwd.select(F.col("u").alias("node"))
+            .union(fwd.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        edges = (
+            fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        if checkpoint_dir is None:
+            all_nodes = all_nodes.localCheckpoint(eager=True)
+            edges = edges.localCheckpoint(eager=True)
+        else:
+            all_nodes = _durable(all_nodes, f"{checkpoint_dir}/all_nodes")
+            edges = _durable(edges, f"{checkpoint_dir}/edges_init")
 
     def star(e: DataFrame, large: bool) -> DataFrame:
         # m(u) = min(Γ(u) ∪ {u}); adjacency carried as directed rows
@@ -634,13 +711,22 @@ def duplicate_components_star(
         all_nodes.unpersist()
         return out
 
-    for _ in range(max_iters):
+    for i in range(start_round, max_iters):
         # checkpoint between the two passes: the outer star references
         # its input multiple times and Catalyst does NOT reuse the
         # duplicated subtrees (measured on the pair self-joins), so an
-        # un-materialized large-star would re-execute ~4x per round
+        # un-materialized large-star would re-execute ~4x per round.
+        # The half-round stays localCheckpoint even in durable mode:
+        # losing its blocks fails the round, and the resume protocol
+        # replays exactly that round from the durable round-start
+        # edges — round granularity, half the write traffic.
         half = star(edges, large=True).localCheckpoint(eager=True)
-        new_edges = star(half, large=False).localCheckpoint(eager=True)
+        new_edges = star(half, large=False)
+        if checkpoint_dir is None:
+            new_edges = new_edges.localCheckpoint(eager=True)
+        else:
+            new_edges = _durable(new_edges, f"{checkpoint_dir}/edges_r{i:04d}")
+            _mark_round(spark, checkpoint_dir, i)
         half.unpersist()
         changed = (
             new_edges.exceptAll(edges).limit(1).count()

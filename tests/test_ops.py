@@ -504,6 +504,79 @@ def test_duplicate_components_chain_and_clique(spark):
         )
 
 
+def test_components_durable_checkpoint_restart(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for parquet-per-round
+    state (r3 VERDICT #2: executor-local blocks kill a multi-round
+    job on executor loss at 100 TB). A restart from an EARLIER
+    completed round — simulated crash: later rounds' state deleted,
+    rounds log truncated — must converge to the identical labeling.
+    Covers both operators plus resume-with-no-state (fresh start)."""
+    import shutil
+
+    from smartglass_ocr_spark.ops.dedup import (
+        duplicate_components, duplicate_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(50, 51), (51, 52)],
+        "doc_a long, doc_b long",
+    )
+    want = {
+        r["doc_id"]: r["component_id"] for r in duplicate_components(pairs).collect()
+    }
+    assert want[12] == 0 and want[52] == 50
+
+    def crash_after_round_zero(root, prefix):
+        rounds = sorted(
+            p.name for p in root.iterdir() if p.name.startswith(prefix)
+        )
+        assert len(rounds) >= 3, rounds  # multi-round state actually written
+        for name in rounds[1:]:
+            shutil.rmtree(root / name)
+        shutil.rmtree(root / "rounds")
+        spark.createDataFrame([(0,)], "round int").write.mode("overwrite").parquet(
+            str(root / "rounds")
+        )
+
+    ckpt = tmp_path / "hopckpt"
+    full = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(pairs, checkpoint_dir=str(ckpt)).collect()
+    }
+    assert full == want
+    crash_after_round_zero(ckpt, "labels_r")
+    resumed = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(
+            pairs, checkpoint_dir=str(ckpt), resume=True
+        ).collect()
+    }
+    assert resumed == want
+
+    sckpt = tmp_path / "starckpt"
+    sfull = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components_star(pairs, checkpoint_dir=str(sckpt)).collect()
+    }
+    assert sfull == want
+    crash_after_round_zero(sckpt, "edges_r")
+    sresumed = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components_star(
+            pairs, checkpoint_dir=str(sckpt), resume=True
+        ).collect()
+    }
+    assert sresumed == want
+
+    fresh = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(
+            pairs, checkpoint_dir=str(tmp_path / "fresh"), resume=True
+        ).collect()
+    }
+    assert fresh == want
+
+
 def test_near_dup_accepts_materialized_index(spark, tmp_path):
     """cosine_self_near_dup over a written LSH index must equal the
     ad-hoc path (and skips the per-branch bucket UDF re-evaluation)."""
