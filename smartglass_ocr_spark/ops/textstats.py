@@ -192,3 +192,40 @@ def signage_classify(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for cls, d in _SIGNAGE_DESCRIPTIONS.items():
         desc = F.when(F.col("signage_class") == cls, F.lit(d)).otherwise(desc)
     return classed.select("doc_id", "signage_class", desc.alias("description"))
+
+
+def corpus_cardinality(
+    docs: DataFrame, text_col: str = "text", rsd: float = 0.05, exact: bool = False
+) -> DataFrame:
+    """One-row corpus cardinality stats: distinct texts (by md5),
+    distinct whitespace tokens, and total token occurrences, in ONE
+    corpus scan (the text digest rides the token explode — no second
+    derivation, no join-back).
+
+    ``exact=False`` (default) uses ``approx_count_distinct`` (HLL++,
+    relative standard deviation ``rsd``) — the 100-TB form (r3
+    VERDICT #4): exact count-distinct shuffles every distinct VALUE
+    to its reducer (the token vocabulary of a web corpus is billions
+    of strings), while the HLL sketch is a fixed few-KB buffer per
+    partition merged once, so the shuffle is O(partitions), not
+    O(vocabulary). ``exact=True`` is the small-scale twin the pytest
+    tolerance-pins the sketch against (sketches legitimately differ
+    across engines, so there is deliberately no DuckDB value-hash
+    oracle for the approx form)."""
+    from smartglass_ocr_spark.ops.dedup import TOKEN_SPLIT
+
+    rows = docs.select(
+        F.md5(F.col(text_col)).alias("_h"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)).alias("tok"),
+    )
+    if exact:
+        nd_text = F.count_distinct(F.col("_h"))
+        nd_tok = F.count_distinct(F.col("tok"))
+    else:
+        nd_text = F.approx_count_distinct("_h", rsd)
+        nd_tok = F.approx_count_distinct("tok", rsd)
+    return rows.agg(
+        nd_text.alias("n_distinct_texts"),
+        nd_tok.alias("n_distinct_tokens"),
+        F.count(F.lit(1)).alias("n_token_occurrences"),
+    )

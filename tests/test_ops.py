@@ -387,6 +387,52 @@ def test_materialized_rollup_builds_from_finer_grain(spark, tmp_path):
     assert got == want
 
 
+def test_value_percentiles_approx_within_rank_tolerance(spark):
+    """The sketch twin must agree with the exact operator within the
+    documented rank bound: with accuracy=10000 over ~10^4 rows/group
+    the permitted rank slip is a handful of rows, so each approx
+    quantile must land between the exact values at rank +-0.5% around
+    the target (generous 5x the guarantee, absorbs interpolation)."""
+    from smartglass_ocr_spark.ops.windows import (
+        value_percentiles, value_percentiles_approx,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {r["event_type"]: r for r in value_percentiles(events).collect()}
+    approx = {r["event_type"]: r for r in value_percentiles_approx(events).collect()}
+    assert exact.keys() == approx.keys()
+    per_type = {
+        r["event_type"]: sorted(v["value"] for v in rows)
+        for r in exact.values()
+        for rows in [events.filter(F.col("event_type") == r["event_type"]).select("value").collect()]
+    }
+    for et, ex in exact.items():
+        vals = per_type[et]
+        n = len(vals)
+        assert approx[et]["n"] == ex["n"] == n
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            lo = vals[max(0, int((q - 0.005) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.005) * n) + 1)]
+            assert lo <= approx[et][col] <= hi, (et, col, approx[et][col], lo, hi)
+
+
+def test_corpus_cardinality_sketch_vs_exact(spark):
+    """HLL++ cardinalities within 3*rsd of the exact twin; occurrence
+    count exact in both; one-scan shape (no join in the plan)."""
+    from smartglass_ocr_spark.ops.textstats import corpus_cardinality
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    ex = corpus_cardinality(docs, exact=True).collect()[0]
+    ap = corpus_cardinality(docs, rsd=0.05).collect()[0]
+    assert ap["n_token_occurrences"] == ex["n_token_occurrences"]
+    for c in ("n_distinct_texts", "n_distinct_tokens"):
+        assert abs(ap[c] - ex[c]) <= 0.15 * ex[c], (c, ap[c], ex[c])
+    plan = (
+        corpus_cardinality(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+
+
 def test_incremental_rollup_refresh(spark, tmp_path):
     """refresh_hierarchical_rollup with a one-day increment must (a)
     produce exactly the full-rebuild store at every grain, (b) report
