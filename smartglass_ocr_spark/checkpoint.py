@@ -36,7 +36,7 @@ CHECKPOINT_SCHEMA = (
 )
 METRICS_SCHEMA = (
     "run_id string, run_seq long, partition_id int, docs_per_sec double, "
-    "spans_per_sec double, stage string, wall_ms long"
+    "spans_per_sec double, stage string, wall_ms long, n_truncated long"
 )
 
 
@@ -130,6 +130,8 @@ def run_extraction_job(
     input_snapshot: str = "parquet",
     two_phase: bool = False,
     use_fused: bool = True,
+    max_doc_spans: int | None = None,
+    max_doc_bytes: int | None = None,
 ) -> dict:
     """Run the extraction pipeline partition-incrementally.
 
@@ -144,9 +146,19 @@ def run_extraction_job(
     clustering by partition_id. Set False (optionally with
     ``two_phase``) to route through the staged explode/reassemble
     pipeline, e.g. when mega-docs need segment-level pre-assembly.
+
+    ``max_doc_spans``/``max_doc_bytes`` (fused path only): the mega-doc
+    clamp levers. When set, each output row carries
+    ``n_truncated_spans`` and the metrics log's ``n_truncated`` column
+    records per partition how many spans the clamp dropped (r3 VERDICT
+    #6 — at 100 TB the clamp's cost must be auditable, not silent).
+    Keep cap settings consistent per output path: the truncation
+    column exists only in capped runs' files.
     """
     from smartglass_ocr_spark.pipeline import fused_doc_stage, run_pipeline
 
+    if (max_doc_spans is not None or max_doc_bytes is not None) and not use_fused:
+        raise ValueError("max_doc_* caps require use_fused=True")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     bucketed = with_partition_id(documents, n_partitions)
@@ -177,7 +189,11 @@ def run_extraction_job(
     # partition_id is a pure function of doc_id — recompute instead of
     # joining back (saves a shuffle)
     cleaned = (
-        fused_doc_stage(todo.drop("partition_id"))
+        fused_doc_stage(
+            todo.drop("partition_id"),
+            max_doc_spans=max_doc_spans,
+            max_doc_bytes=max_doc_bytes,
+        )
         if use_fused
         else run_pipeline(todo.drop("partition_id"), two_phase=two_phase)
     )
@@ -221,14 +237,16 @@ def run_extraction_job(
     stats_src = spark.read.parquet(output_path)
     if done:
         stats_src = stats_src.filter(~F.col("partition_id").isin(list(done)))
-    stats = (
-        stats_src.groupBy("partition_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_spans").alias("n_spans"),
+    has_trunc = "n_truncated_spans" in stats_src.columns
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_spans").alias("n_spans"),
+    ]
+    if has_trunc:
+        aggs.append(
+            F.sum(F.coalesce(F.col("n_truncated_spans"), F.lit(0))).alias("n_trunc")
         )
-        .collect()
-    )
+    stats = stats_src.groupBy("partition_id").agg(*aggs).collect()
     processed = sorted(int(r["partition_id"]) for r in stats)
     secs = max(wall_ms, 1) / 1000.0
     ckpt_rows, metric_rows = [], []
@@ -243,6 +261,7 @@ def run_extraction_job(
                 round(r["n_docs"] / secs, 3),
                 round((r["n_spans"] or 0) / secs, 3),
                 "extract", wall_ms,
+                int(r["n_trunc"] or 0) if has_trunc else 0,
             )
         )
     if ckpt_rows:

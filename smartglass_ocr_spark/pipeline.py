@@ -362,7 +362,17 @@ def fused_doc_stage(assembled: DataFrame,
     stays byte-identical to the uncapped spec. This bounds the
     straggler cost of pathological mega-docs (BASELINE.md §skew: one
     200k-span doc = 18 s in a single Python task); for LOSSLESS
-    mega-doc handling use :func:`run_pipeline_skew_routed`."""
+    mega-doc handling use :func:`run_pipeline_skew_routed`.
+
+    Truncation observability (r3 VERDICT #6): when either cap is set,
+    the output gains an ``n_truncated_spans`` int column (spans the
+    clamp dropped for that doc — the cleaned spans array has exactly
+    one entry per KEPT span, so the count is input minus output
+    length) which :func:`~smartglass_ocr_spark.checkpoint.
+    run_extraction_job` rolls into the per-partition metrics table, so
+    a 100-TB run can audit what the clamp cost. Capless runs keep the
+    byte-identical uncapped schema."""
+    capped = max_doc_spans is not None or max_doc_bytes is not None
 
     def run(batches):
         from smartglass_ocr_spark.golden import process_document
@@ -371,17 +381,24 @@ def fused_doc_stage(assembled: DataFrame,
             # Arrow hands each struct element as a dict with exactly
             # the span keys — feed them to the spec directly, no
             # per-span rebuild
-            rows = [
-                process_document(
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                row = process_document(
                     {"doc_id": doc_id, "spans": spans},
                     max_spans=max_doc_spans,
                     max_bytes=max_doc_bytes,
                 )
-                for doc_id, spans in zip(pdf["doc_id"], pdf["spans"])
-            ]
+                if capped:
+                    row["n_truncated_spans"] = len(spans) - len(row["spans"])
+                rows.append(row)
             yield pd.DataFrame(rows)
 
-    return assembled.mapInPandas(run, _DOC_OUT_SCHEMA)
+    schema = _DOC_OUT_SCHEMA
+    if capped:
+        schema = StructType(
+            _DOC_OUT_SCHEMA.fields + [StructField("n_truncated_spans", IntegerType())]
+        )
+    return assembled.mapInPandas(run, schema)
 
 
 def run_pipeline_fused(span_rows: DataFrame,

@@ -93,7 +93,7 @@ def test_checkpoint_and_metrics_schema(spark, paths):
     metrics = spark.read.parquet(paths["metrics"])
     assert {
         "run_id", "run_seq", "partition_id", "docs_per_sec", "spans_per_sec",
-        "stage", "wall_ms",
+        "stage", "wall_ms", "n_truncated",
     } == set(metrics.columns)
     assert metrics.filter("docs_per_sec <= 0").count() == 0
 
@@ -149,3 +149,52 @@ def test_ewma_metrics(spark, paths):
         # got is rounded to 3dp (Spark HALF_UP); compare against the
         # unrounded fold with a half-ulp tolerance
         assert abs(got[pid]["ewma_docs_per_sec"] - e) <= 6e-4
+
+
+def test_truncation_counts_in_metrics(spark, paths):
+    """When the mega-doc clamp fires, the metrics log must record per
+    partition how many spans it dropped (r3 VERDICT #6) — summing to
+    exactly (input spans - capped spans) — and a capless run records
+    0 with the uncapped output schema."""
+    from pyspark.sql import functions as F
+
+    docs_raw = generate_docs(n_docs=20, seed=13, mega_doc_spans=500)
+    docs = docs_to_df(spark, docs_raw)
+    cap = 40
+    expected = sum(max(0, len(d["spans"]) - cap) for d in docs_raw)
+    assert expected > 0
+
+    run_extraction_job(
+        spark, docs, paths["out"], paths["ckpt"], paths["metrics"],
+        "run-1", n_partitions=8, max_doc_spans=cap,
+    )
+    m = spark.read.parquet(paths["metrics"])
+    assert m.agg(F.sum("n_truncated")).collect()[0][0] == expected
+    # per-partition counts match a direct recomputation of the clamp
+    out = spark.read.parquet(paths["out"])
+    per_part = {
+        r["partition_id"]: r["s"]
+        for r in out.groupBy("partition_id")
+        .agg(F.sum("n_truncated_spans").alias("s"))
+        .collect()
+    }
+    logged = {
+        r["partition_id"]: r["n_truncated"]
+        for r in m.filter(F.col("stage") == "extract").collect()
+    }
+    assert logged == per_part
+
+    # capless run: fresh paths, schema unchanged, metric records 0
+    out2, ckpt2, met2 = (p + "_nc" for p in
+                         (paths["out"], paths["ckpt"], paths["metrics"]))
+    run_extraction_job(spark, docs, out2, ckpt2, met2, "run-1", n_partitions=8)
+    assert "n_truncated_spans" not in spark.read.parquet(out2).columns
+    m2 = spark.read.parquet(met2)
+    assert m2.agg(F.sum("n_truncated")).collect()[0][0] == 0
+
+    # staged path refuses the cap levers (fused-only)
+    with pytest.raises(ValueError, match="use_fused"):
+        run_extraction_job(
+            spark, docs, out2, ckpt2, met2, "run-x", n_partitions=8,
+            use_fused=False, max_doc_spans=cap,
+        )

@@ -418,6 +418,16 @@ def test_doc_span_cap_equals_pretruncated(spark):
             max_doc_spans=300, max_doc_bytes=20_000,
         ).collect()
     }
+    # capped runs additionally report what the clamp dropped (r3
+    # VERDICT #6); that observability column must equal the direct
+    # clamp arithmetic, and the payload must equal the pre-truncated
+    # capless run exactly
+    want_trunc = {
+        d["doc_id"]: len(d["spans"]) - len(c["spans"])
+        for d, c in zip(docs, capped_corpus)
+    }
+    got_trunc = {k: v.pop("n_truncated_spans") for k, v in a.items()}
+    assert got_trunc == want_trunc
     b = {
         r["doc_id"]: r.asDict(recursive=True)
         for r in run_pipeline_fused(
