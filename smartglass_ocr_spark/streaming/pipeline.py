@@ -177,6 +177,42 @@ def stream_dedup_near(stream_docs: DataFrame, n: int = 5) -> DataFrame:
     ).dropDuplicates(["fingerprint"])
 
 
+def stream_dedup_simhash(stream_docs: DataFrame) -> DataFrame:
+    """Stateful near-dup suppression keyed on the full 64-bit SimHash
+    (r3 VERDICT #7 — the upgrade over :func:`stream_dedup_near`'s
+    min-shingle key): the first document with a given simhash64
+    passes, later arrivals in the same or any later micro-batch drop.
+    The fingerprint is the in-row HOF fold
+    (ops.dedup.simhash64_column — stream-legal, no shuffle; measured
+    ~9x the batch explode+agg shape per doc, the documented price of
+    staying narrow), state is one 8-byte key per distinct fingerprint
+    in the checkpointed dropDuplicates store.
+
+    Recall gap vs batch (documented, deliberate): dropDuplicates is
+    EXACT-key state, so this catches Hamming-distance-0 collisions
+    only — token reorderings, whitespace/case edits, and any change
+    that leaves every weighted lane vote on the same side. The batch
+    banded search (ops.dedup.simhash_near_pairs, Hamming <= 3) needs
+    a groupBy + join over band keys — wide ops a stream cannot run
+    per-row; run it as a periodic batch sweep over the stream's
+    output for the remaining tail. Min-shingle (stream_dedup_near)
+    and simhash keys are complementary: the former survives tail
+    APPENDS (min over shingles), the latter survives REORDERINGS
+    (bag-of-words)."""
+    from smartglass_ocr_spark.ops.dedup import simhash64_column
+
+    doc_text = F.array_join(
+        F.filter(
+            F.transform("spans", lambda s: s["text"]),
+            lambda t: t.isNotNull(),
+        ),
+        "\n",
+    )
+    return stream_docs.withColumn(
+        "simhash", simhash64_column(doc_text)
+    ).dropDuplicates(["simhash"])
+
+
 RUNNING_TOTALS_STATE = "total double, n bigint"
 RUNNING_TOTALS_OUTPUT = "user_id bigint, total double, n bigint"
 

@@ -778,3 +778,23 @@ def test_star_components_equal_hop_propagation(spark):
     got = {r["doc_id"]: r["component_id"] for r in
            duplicate_components_star(chain, max_iters=10).collect()}
     assert got == {i: 0 for i in range(61)}
+
+
+def test_simhash64_column_matches_batch_operator(spark):
+    """The stream-legal in-row fold must emit bit-identical
+    fingerprints to the batch explode+codegen-agg operator, including
+    the sign-bit lane and empty/whitespace-edge docs."""
+    from smartglass_ocr_spark.ops.dedup import simhash64, simhash64_column
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    extra = spark.createDataFrame(
+        [(10_000_001, ""), (10_000_002, "  one  "), (10_000_003, "x")],
+        "doc_id long, text string",
+    )
+    docs = docs.select("doc_id", "text").unionByName(extra)
+    batch = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    fold = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash64_column("text").alias("s")).collect()
+    }
+    assert fold == batch

@@ -258,3 +258,50 @@ def test_stream_dedup_near_min_shingle(spark, tmp_path):
     )
     assert kept.count() == n_distinct
     assert kept.filter(F.col("doc_id") == "other").count() == 1
+
+
+def test_stream_dedup_simhash_cross_batch(spark, tmp_path):
+    """simhash64-keyed stream dedup across MICRO-BATCHES: a token
+    REORDERING of an earlier batch's doc (bag-of-words identical ->
+    same simhash, where the min-shingle key would differ) drops in a
+    later batch via the checkpointed state store; a genuinely
+    different doc passes. maxFilesPerTrigger=1 forces one file per
+    micro-batch so the suppression provably crosses batch state."""
+    from smartglass_ocr_spark.ops.dedup import simhash64_column
+    from smartglass_ocr_spark.streaming.pipeline import stream_dedup_simhash
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    reordered = " ".join(reversed(base.split()))
+    assert reordered != base
+    src = str(tmp_path / "sh")
+    b1 = [{"doc_id": "orig", "spans": [{"kind": "para", "text": base, "media_ref": None, "offset": 0}]}]
+    b2 = [
+        {"doc_id": "reordered", "spans": [{"kind": "para", "text": reordered, "media_ref": None, "offset": 0}]},
+        {"doc_id": "other", "spans": [{"kind": "para", "text": "completely different words here and everywhere now okay then", "media_ref": None, "offset": 0}]},
+    ]
+    docs_to_df(spark, b1).coalesce(1).write.mode("overwrite").parquet(src)
+    docs_to_df(spark, b2).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "sh_out")
+    ckpt = str(tmp_path / "sh_ckpt")
+    q = (
+        stream_dedup_simhash(
+            stream_documents(spark, src, max_files_per_trigger=1)
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"orig", "other"}
+    # the dropped doc really had the surviving doc's fingerprint
+    flat = spark.createDataFrame(
+        [("orig", base), ("reordered", reordered)], "doc_id string, text string"
+    )
+    sims = {r["doc_id"]: r["s"] for r in
+            flat.select("doc_id", simhash64_column("text").alias("s")).collect()}
+    assert sims["orig"] == sims["reordered"]
