@@ -145,10 +145,21 @@ def jaccard_pairs(
     A bucket over the width cap is dropped from pair generation but
     still counts toward each member's ``n_shingles`` denominator
     (sizes are attached before the bucket filter). Mass duplicates
-    belong to exact dedup first; after that neither cap fires."""
+    belong to exact dedup first; after that neither cap fires.
+
+    Exchange layout (r3 VERDICT minor #3): the shingle rows are
+    hash-partitioned by doc_id ONCE up front — doc_id is a subset of
+    the distinct's (doc_id, shingle) clustering, so the dedup runs
+    partition-locally AND the per-doc size window reuses the same
+    partitioning, collapsing what was two separate full exchanges of
+    the shingle rows (distinct's + the window's) into one (plan-pinned
+    <= 3 exchanges end to end with the df cap off). Per-doc
+    co-location is safe: a doc's shingle count is bounded by its token
+    count, and pathological mega-docs are bounded upstream by the
+    pipeline's cap levers."""
     from pyspark.sql.window import Window
 
-    sh = shingle_rows(docs, n=n, text_col=text_col)
+    sh = _shingle_rows_raw(docs, n, text_col).repartition("doc_id").distinct()
     if max_shingle_docs is not None:
         # document frequency per shingle, window over the same rows
         # (no second derivation of the corpus)

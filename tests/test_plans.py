@@ -116,3 +116,21 @@ def test_minhash_single_corpus_scan(spark, queries):
     plan = _plan(queries["dedup_minhash_lsh"](spark, SF))
     assert plan.count("FileScan") == 1, plan
     assert "partial_min" in plan
+
+
+def test_jaccard_doc_partitioning_reused(spark):
+    """jaccard_pairs' up-front doc_id repartition must serve BOTH the
+    distinct (doc_id subset of its clustering keys -> partition-local)
+    and the per-doc size window — one corpus scan, at most 3 hash
+    exchanges end to end (repartition, shingle bucket groupBy, pair
+    agg) with the df cap off. The r3 shape paid a 4th full exchange of
+    the shingle rows between the distinct and the window."""
+    from smartglass_ocr_spark.ops.dedup import jaccard_pairs
+
+    spark.read.parquet(f"{SF}/documents.parquet").createOrReplaceTempView("_jd")
+    df = jaccard_pairs(
+        spark.table("_jd"), n=5, threshold=0.2, max_shingle_docs=None
+    )
+    plan = _plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
