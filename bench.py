@@ -32,26 +32,38 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "10"))
 
-HEADLINE = [
-    "pipeline_extract_full",  # flagship: the extraction pipeline
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "w2_gap_sessionize",
-    "session_window",
-    "a10_ordered_group_concat",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_jaccard",
-    "dedup_components",
-    "doc_fingerprint",
-    "quality_scores",
-    "entity_harvest",
-    "knn_cosine",
-    "knn_lsh",
-    "media_catalog",
-    "hierarchical_rollup",
-]
+# r3 VERDICT #8: the bench covers EVERY contract query (the full
+# oracled set plus the pipeline_* parity queries) so each family has
+# round-over-round regression tracking, plus the flagship and the two
+# approximate twins (sketches have no oracle; their regression signal
+# belongs here). The list is derived from queries() at runtime so a
+# new contract query can't silently miss the bench.
+def _approx_percentiles(spark, sf_dir):
+    from smartglass_ocr_spark.ops.windows import value_percentiles_approx
+
+    return value_percentiles_approx(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def _approx_cardinality(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import corpus_cardinality
+
+    return corpus_cardinality(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+EXTRA_QUERIES = {
+    "value_percentiles_approx": _approx_percentiles,
+    "corpus_cardinality": _approx_cardinality,
+}
+
+
+def headline_names(contract_queries) -> list[str]:
+    return (
+        ["pipeline_extract_full"]
+        + list(contract_queries)
+        + list(EXTRA_QUERIES)
+    )
 
 
 def _replicated_docs(spark, sf_dir: str, factor: int):
@@ -106,14 +118,14 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     # runs reflects the plan, not the noise, while keeping the suite
     # within the driver's time budget
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline_names(qs):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             if name == "pipeline_extract_full":
                 _noop(flagship(spark, sf_dir))
             else:
-                _noop(qs[name](spark, sf_dir))
+                _noop((qs.get(name) or EXTRA_QUERIES[name])(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     return timings
