@@ -259,6 +259,35 @@ def write_lsh_index(
     )
 
 
+def append_lsh_index(
+    new_embeddings: DataFrame,
+    path: str,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental index maintenance (continuous-ingestion twin of
+    the rollup refresh): bucket ONLY the new vectors and APPEND their
+    files into the matching bucket partitions — the existing index is
+    never read or rewritten, so the refresh cost is O(increment), not
+    O(corpus). The LSH quantizer is the FIXED md5-derived plane
+    matrix, so new vectors land in exactly the buckets a full rebuild
+    would put them in (pytest-pinned: append ≡ rebuild for every
+    probe). Caller owns id uniqueness across increments (re-appending
+    a vec_id duplicates it, like any append-only table)."""
+    (
+        new_embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            _bucket_udf(bits)(F.col(vec_col)).alias("bucket"),
+        )
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def lsh_index_topk(
     spark,
     path: str,
@@ -470,6 +499,30 @@ def write_ivf_index(
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def append_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new vectors
+    against the index's STORED centroids (quantizer frozen at build
+    time — the standard IVF ingestion contract; retrain by rebuilding
+    when drift matters) and append their files into the matching cid
+    partitions. O(increment) refresh; probes prune exactly as before.
+    Caller owns id uniqueness across increments."""
+    spark = new_embeddings.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    centroids = [list(r["c"]) for r in cent_rows]
+    assigned = ivf_assign(new_embeddings, centroids, vec_col=vec_col, id_col=id_col)
+    (
+        assigned.repartition("cid")
+        .write.mode("append")
+        .partitionBy("cid")
+        .parquet(f"{path}/vectors")
+    )
 
 
 def ivf_index_topk(

@@ -798,3 +798,45 @@ def test_simhash64_column_matches_batch_operator(spark):
         for r in docs.select("doc_id", simhash64_column("text").alias("s")).collect()
     }
     assert fold == batch
+
+
+def test_index_append_equals_rebuild(spark, tmp_path):
+    """Incremental index maintenance: appending an increment into a
+    materialized LSH/IVF index must answer every probe exactly like an
+    index rebuilt from the full corpus — the quantizers are frozen
+    (md5 planes / stored centroids), so placement is rebuild-identical
+    while the refresh cost is O(increment)."""
+    from smartglass_ocr_spark.ops.similarity import (
+        append_ivf_index, append_lsh_index, ivf_index_topk,
+        lsh_index_topk, write_ivf_index, write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    inc = emb.filter(F.col("vec_id") % 4 == 0)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+
+    lsh_a, lsh_b = str(tmp_path / "lsh_app"), str(tmp_path / "lsh_full")
+    write_lsh_index(base, lsh_a, bits=4)
+    append_lsh_index(inc, lsh_a, bits=4)
+    write_lsh_index(emb, lsh_b, bits=4)
+    for nprobe in (1, 3):
+        got = [tuple(r) for r in lsh_index_topk(spark, lsh_a, q, k=10, bits=4, nprobe=nprobe).collect()]
+        want = [tuple(r) for r in lsh_index_topk(spark, lsh_b, q, k=10, bits=4, nprobe=nprobe).collect()]
+        assert got == want and got
+
+    ivf_a, ivf_b = str(tmp_path / "ivf_app"), str(tmp_path / "ivf_full")
+    write_ivf_index(base, ivf_a, n_centroids=8)
+    append_ivf_index(inc, ivf_a)
+    # rebuild control uses the APPENDED index's centroids (quantizer
+    # frozen at base-build time) so placement is comparable
+    import shutil
+    write_ivf_index(emb, ivf_b, n_centroids=8)
+    shutil.rmtree(ivf_b + "/centroids")
+    shutil.copytree(ivf_a + "/centroids", ivf_b + "/centroids")
+    from smartglass_ocr_spark.ops.similarity import ivf_assign
+    cent = [list(r["c"]) for r in spark.read.parquet(f"{ivf_a}/centroids").orderBy("cid").collect()]
+    ivf_assign(emb, cent).repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(ivf_b + "/vectors")
+    got = [tuple(r) for r in ivf_index_topk(spark, ivf_a, q, k=10, nprobe=4).collect()]
+    want = [tuple(r) for r in ivf_index_topk(spark, ivf_b, q, k=10, nprobe=4).collect()]
+    assert got == want and got
