@@ -272,6 +272,21 @@ def _q_doc_fingerprint(spark, sf_dir):
     return fingerprint_min_shingle(_t(spark, sf_dir, "documents"))
 
 
+def _q_decontaminate(spark, sf_dir):
+    # benchmark decontamination: the "eval suite" is a deterministic
+    # slice of the same table (sources src18/src19 — no external
+    # data), the corpus is everything else; n=4 word-grams give the
+    # synthetic corpus a real overlap signal (48/450 docs at sf0.01)
+    from pyspark.sql import functions as F
+
+    from smartglass_ocr_spark.ops.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin("src18", "src19"))
+    corpus = docs.filter(~F.col("source").isin("src18", "src19"))
+    return decontaminate(corpus, bench, n=4)
+
+
 def _q_lang_id_counts(spark, sf_dir):
     # confusion counts in ONE corpus scan: the label column rides the
     # lang_id projection instead of joining back to the source
@@ -596,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
+        "decontaminate": _q_decontaminate,
         "dedup_components": _q_dedup_components,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -1086,6 +1102,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
             )
             SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+        """,
+        "decontaminate": """
+            WITH toksb AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE source IN ('src18', 'src19')
+            ), bg AS (
+                SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS shingle
+                FROM toksb, UNNEST(range(1, greatest(1, len(w) - 3) + 1)) AS t(i)
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE source NOT IN ('src18', 'src19')
+            ), cg AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS shingle
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 3) + 1)) AS t(i)
+            )
+            SELECT cg.doc_id,
+                   count(*) AS n_grams,
+                   count(bg.shingle) AS n_contaminated,
+                   (count(bg.shingle) > 0)::int AS contaminated
+            FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
+            GROUP BY cg.doc_id
         """,
         "lang_id_counts": """
             WITH pred AS (

@@ -913,3 +913,50 @@ def fingerprint_min_shingle(docs: DataFrame, n: int = 5, text_col: str = "text")
     change a min, so no distinct is needed)."""
     sh = _shingle_rows_raw(docs, n, text_col)
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    scrub a training-data pipeline runs before every release): flag
+    every corpus document sharing at least one word ``n``-gram with an
+    evaluation/benchmark set.
+
+    Returns ``(doc_id, n_grams, n_contaminated, contaminated)`` —
+    distinct n-grams in the doc, how many of those appear anywhere in
+    the benchmark, and the 0/1 flag. Callers drop flagged docs or
+    audit ``n_contaminated / n_grams`` as an overlap fraction.
+
+    Shape (100 TB): the benchmark side is eval suites — thousands of
+    docs, never corpus-scale — so its distinct gram set is built once
+    and **broadcast**; the corpus side pays one up-front hash
+    partition on ``doc_id``, after which the per-doc gram distinct,
+    the broadcast hash join (no shuffle), and the per-doc count agg
+    are all partition-local: ONE exchange of shingle rows total, same
+    layout as :func:`jaccard_pairs`. Counts use ``count(hit)`` (never
+    ``sum``) so the DuckDB oracle stays BIGINT, not HUGEINT.
+    """
+    bench_grams = (
+        _shingle_rows_raw(benchmark, n, text_col).select("shingle").distinct()
+    )
+    grams = _shingle_rows_raw(docs.repartition("doc_id"), n, text_col).distinct()
+    joined = grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            (F.col("n_contaminated") > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -840,3 +840,35 @@ def test_index_append_equals_rebuild(spark, tmp_path):
     got = [tuple(r) for r in ivf_index_topk(spark, ivf_a, q, k=10, nprobe=4).collect()]
     want = [tuple(r) for r in ivf_index_topk(spark, ivf_b, q, k=10, nprobe=4).collect()]
     assert got == want and got
+
+
+def test_decontaminate_flags_overlap(spark):
+    """A corpus doc sharing an n-gram with the benchmark is flagged
+    with the right overlap count; a clean doc is not; a doc shorter
+    than n tokens is its own single gram (the greatest(1, ...) edge)
+    and matches only a benchmark doc with the identical short text."""
+    from smartglass_ocr_spark.ops.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"), (101, "zeta eta")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta closing words here"),
+            (2, "nothing shared with the benchmark at all"),
+            (3, "zeta eta"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, bench, n=4).collect()
+    }
+    # doc 1: 5 distinct 4-grams, exactly one ("alpha beta gamma
+    # delta") appears in the benchmark
+    assert rows[1]["n_grams"] == 5
+    assert rows[1]["n_contaminated"] == 1 and rows[1]["contaminated"] == 1
+    assert rows[2]["n_contaminated"] == 0 and rows[2]["contaminated"] == 0
+    # doc 3: 2 tokens < n → one whole-text gram, equal to bench 101's
+    assert rows[3]["n_grams"] == 1 and rows[3]["contaminated"] == 1

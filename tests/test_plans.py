@@ -134,3 +134,22 @@ def test_jaccard_doc_partitioning_reused(spark):
     plan = _plan(df)
     assert plan.count("FileScan") == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_decontaminate_broadcast_single_exchange(spark, queries):
+    """Decontamination: the benchmark gram set is BROADCAST (eval
+    suites are never corpus-scale) and the corpus shingle rows cross
+    exactly ONE hash exchange — the up-front doc_id partition that
+    the gram distinct and the per-doc count agg both reuse."""
+    plan = _plan(queries["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # two hash exchanges total: the corpus's one REPARTITION_BY_COL
+    # on doc_id (reused by the gram distinct AND the count agg — no
+    # ENSURE_REQUIREMENTS exchange of corpus rows anywhere), plus the
+    # benchmark side's distinct, which is eval-suite-sized
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert len(re.findall(r"REPARTITION_BY_COL", plan)) == 1, plan
+    # both source filters reach the parquet scan
+    assert "PushedFilters: [Not(In(source" in plan
+    assert "PushedFilters: [In(source" in plan
