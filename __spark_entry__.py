@@ -272,6 +272,18 @@ def _q_doc_fingerprint(spark, sf_dir):
     return fingerprint_min_shingle(_t(spark, sf_dir, "documents"))
 
 
+def _q_repetition_signals(spark, sf_dir):
+    # Gopher-style repetition filters; thresholds lowered to where the
+    # synthetic corpus has real flag signal (11 docs at sf0.01)
+    from smartglass_ocr_spark.ops.textstats import repetition_signals
+
+    return repetition_signals(
+        _t(spark, sf_dir, "documents"),
+        top_bigram_thresh=0.1,
+        dup_trigram_thresh=0.05,
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     # benchmark decontamination: the "eval suite" is a deterministic
     # slice of the same table (sources src18/src19 — no external
@@ -612,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "decontaminate": _q_decontaminate,
+        "repetition_signals": _q_repetition_signals,
         "dedup_components": _q_dedup_components,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -1123,6 +1136,29 @@ def oracle_sql() -> dict[str, str]:
                    (count(bg.shingle) > 0)::int AS contaminated
             FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
             GROUP BY cg.doc_id
+        """,
+        "repetition_signals": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+            ), bc AS (
+                SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, count(*) AS c
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 1) + 1)) AS t(i)
+                GROUP BY doc_id, g
+            ), b AS (
+                SELECT doc_id, max(c) / sum(c) AS top_bigram_frac
+                FROM bc GROUP BY doc_id
+            ), tc AS (
+                SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g, count(*) AS c
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 2) + 1)) AS t(i)
+                GROUP BY doc_id, g
+            ), t3 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dup_trigram_frac
+                FROM tc GROUP BY doc_id
+            )
+            SELECT doc_id, top_bigram_frac, dup_trigram_frac,
+                   (top_bigram_frac > 0.1 OR dup_trigram_frac > 0.05)::int AS repetitive
+            FROM b JOIN t3 USING (doc_id)
         """,
         "lang_id_counts": """
             WITH pred AS (

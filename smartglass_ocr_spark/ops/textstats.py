@@ -229,3 +229,87 @@ def corpus_cardinality(
         nd_tok.alias("n_distinct_tokens"),
         F.count(F.lit(1)).alias("n_token_occurrences"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_bigram_thresh: float = 0.2,
+    dup_trigram_thresh: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1
+    run char-fraction versions of these over MassiveText): per doc,
+    the fraction of bigram occurrences taken by the single most
+    common bigram (``top_bigram_frac``) and the fraction of trigram
+    occurrences belonging to trigrams seen more than once
+    (``dup_trigram_frac``), plus the 0/1 ``repetitive`` verdict at
+    the given thresholds. Boilerplate and looping-generator text
+    score high on both; clean prose stays near zero.
+
+    Shape — deliberately ONE pass: a two-branch version (bigram agg
+    JOIN trigram agg) measured here as 2 FileScans + a broadcast of a
+    per-doc aggregate (Catalyst does not reuse identical branch
+    subtrees, the repo's pinned trap class, and a per-doc frame is
+    corpus-sized — never broadcastable at 10^12 docs). Instead one
+    index explode emits BOTH gram widths as (width, gram) rows
+    (trigram gated to its own index range so short docs keep the
+    whole-text-gram edge), one (doc_id, width, gram) count agg, and
+    conditional final aggregates — 1 scan, 1 exchange, no join.
+    Fractions are single divisions of exact per-doc integers
+    (IEEE-identical in any engine), so the SQL oracle needs no
+    rounding grid.
+    """
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    bigram_n = F.greatest(F.lit(1), n - F.lit(1))
+    trigram_n = F.greatest(F.lit(1), n - F.lit(2))
+    idx = docs.repartition("doc_id").select(
+        "doc_id",
+        toks.alias("_w"),
+        trigram_n.alias("_t3"),
+        F.explode(F.sequence(F.lit(1), bigram_n)).alias("_i"),
+    )
+    grams = idx.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).alias("width"),
+                    F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), 2)).alias("g"),
+                ),
+                F.struct(
+                    F.lit(3).alias("width"),
+                    F.when(
+                        F.col("_i") <= F.col("_t3"),
+                        F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i"), 3)),
+                    ).alias("g"),
+                ),
+            )
+        ).alias("wg"),
+    ).select("doc_id", F.col("wg.width").alias("width"), F.col("wg.g").alias("g"))
+    counts = (
+        grams.filter(F.col("g").isNotNull())
+        .groupBy("doc_id", "width", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    is2 = F.col("width") == 2
+    is3 = F.col("width") == 3
+    c = F.col("c")
+    return counts.groupBy("doc_id").agg(
+        (F.max(F.when(is2, c)) / F.sum(F.when(is2, c))).alias("top_bigram_frac"),
+        (
+            F.sum(F.when(is3 & (c > 1), c).otherwise(F.when(is3, 0)))
+            / F.sum(F.when(is3, c))
+        ).alias("dup_trigram_frac"),
+    ).select(
+        "doc_id",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        (
+            (F.col("top_bigram_frac") > top_bigram_thresh)
+            | (F.col("dup_trigram_frac") > dup_trigram_thresh)
+        )
+        .cast("int")
+        .alias("repetitive"),
+    )

@@ -872,3 +872,33 @@ def test_decontaminate_flags_overlap(spark):
     assert rows[2]["n_contaminated"] == 0 and rows[2]["contaminated"] == 0
     # doc 3: 2 tokens < n → one whole-text gram, equal to bench 101's
     assert rows[3]["n_grams"] == 1 and rows[3]["contaminated"] == 1
+
+
+def test_repetition_signals_values(spark):
+    """Hand-computed Gopher repetition fractions: a looping doc is
+    flagged at the default thresholds, clean prose is not, and a
+    2-token doc keeps the whole-text-gram edge for both widths."""
+    from smartglass_ocr_spark.ops.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "spam spam" x: bigrams = [spam spam]*4 -> top frac 1.0;
+            # trigrams = [spam spam spam]*3 all dup -> frac 1.0
+            (1, "spam spam spam spam spam"),
+            # all 6 bigrams distinct -> 1/6; all 5 trigrams distinct -> 0.0
+            (2, "one two three four five six seven"),
+            # 2 tokens: bigram = whole text (1) -> frac 1.0; trigram
+            # index range greatest(1, -1+1)=1 -> whole text, count 1 -> 0.0
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[1]["dup_trigram_frac"] == 1.0
+    assert rows[1]["repetitive"] == 1
+    assert rows[2]["top_bigram_frac"] == 1 / 6
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    assert rows[2]["repetitive"] == 0
+    assert rows[3]["top_bigram_frac"] == 1.0
+    assert rows[3]["dup_trigram_frac"] == 0.0

@@ -153,3 +153,13 @@ def test_decontaminate_broadcast_single_exchange(spark, queries):
     # both source filters reach the parquet scan
     assert "PushedFilters: [Not(In(source" in plan
     assert "PushedFilters: [In(source" in plan
+
+
+def test_repetition_signals_single_scan(spark, queries):
+    """Both gram widths ride ONE corpus scan and ONE doc_id exchange
+    (the two-branch join shape measured 2 FileScans + a broadcast of
+    a per-doc aggregate — corpus-sized, never broadcastable)."""
+    plan = _plan(queries["repetition_signals"](spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan
