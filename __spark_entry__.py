@@ -272,6 +272,20 @@ def _q_doc_fingerprint(spark, sf_dir):
     return fingerprint_min_shingle(_t(spark, sf_dir, "documents"))
 
 
+def _q_sequence_pack(spark, sf_dir):
+    # packing composes on the token_counts output (the narrow frame a
+    # real pipeline would have materialized); window=512 so sf0.01's
+    # ~30k tokens spread over ~60 packs, group_size=64 so the
+    # two-phase prefix exercises multiple groups
+    from smartglass_ocr_spark.ops.sampling import sequence_pack
+    from smartglass_ocr_spark.ops.textstats import token_counts
+
+    toks = token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    return sequence_pack(toks, window=512, group_size=64)
+
+
 def _q_repetition_signals(spark, sf_dir):
     # Gopher-style repetition filters; thresholds lowered to where the
     # synthetic corpus has real flag signal (11 docs at sf0.01)
@@ -625,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "decontaminate": _q_decontaminate,
         "repetition_signals": _q_repetition_signals,
+        "sequence_pack": _q_sequence_pack,
         "dedup_components": _q_dedup_components,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -1159,6 +1174,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, top_bigram_frac, dup_trigram_frac,
                    (top_bigram_frac > 0.1 OR dup_trigram_frac > 0.05)::int AS repetitive
             FROM b JOIN t3 USING (doc_id)
+        """,
+        # the oracle IS the naive global-order cumsum the operator's
+        # two-phase grouped form must equal by associativity
+        "sequence_pack": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (
+                           ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                       ) - n_tokens AS s
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   s // 512 AS pack_id,
+                   s % 512 AS pack_offset,
+                   (s % 512 + n_tokens > 512)::int AS spans_boundary
+            FROM c
         """,
         "lang_id_counts": """
             WITH pred AS (

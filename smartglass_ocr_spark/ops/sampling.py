@@ -125,3 +125,62 @@ def length_buckets(
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+def sequence_pack(
+    doc_tokens: DataFrame,
+    window: int = 2048,
+    group_size: int = 100_000,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing for pretraining (the GPT-style
+    concat-then-chunk layout): lay every document's tokens end to end
+    in ``id_col`` order and cut a context window every ``window``
+    tokens. Each doc gets the pack where it STARTS plus its offset in
+    that pack, and a flag for docs straddling a window boundary
+    (the ones an attention-masked packer would split or re-pad).
+
+    Input is a narrow ``(id, n_tokens)`` frame — in a real pipeline
+    the already-materialized ``token_counts`` output — NOT the text
+    table: packing needs only the counts, and the layout below scans
+    its input twice, which is cheap on two BIGINT columns and ruinous
+    on text.
+
+    Scale shape: the naive form is one cumulative-sum window over a
+    GLOBAL order — a single-partition sort of the whole corpus, the
+    canonical scale-killer. Instead the prefix sum is split by
+    associativity into (1) per-group token totals (one hash agg on
+    ``floor(id / group_size)`` — deterministic contiguous ranges, not
+    sampled range partitioning), (2) a running prefix over the tiny
+    per-group totals frame (the only single-partition window, one row
+    per group — 10^6 rows at 10^12 docs / group_size 10^6), broadcast
+    back, and (3) a within-group cumsum window whose partitions are
+    ``group_size`` rows. Result is bit-equal to the global-order
+    cumsum (the oracle computes exactly that), with no corpus-wide
+    ordering anywhere.
+    """
+    grp = F.floor(F.col(id_col) / F.lit(group_size))
+    flat = doc_tokens.select(F.col(id_col), F.col(tokens_col), grp.alias("grp"))
+    totals = flat.groupBy("grp").agg(F.sum(tokens_col).alias("_tot"))
+    run = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, 0)
+    prefixes = totals.select(
+        "grp", (F.sum("_tot").over(run) - F.col("_tot")).alias("_prefix")
+    )
+    within = (
+        Window.partitionBy("grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = (
+        F.col("_prefix") + F.sum(tokens_col).over(within) - F.col(tokens_col)
+    )
+    packed = flat.join(F.broadcast(prefixes), "grp").withColumn("_start", start)
+    off = F.col("_start") % window
+    return packed.select(
+        id_col,
+        tokens_col,
+        F.floor(F.col("_start") / window).alias("pack_id"),
+        off.alias("pack_offset"),
+        ((off + F.col(tokens_col)) > window).cast("int").alias("spans_boundary"),
+    )

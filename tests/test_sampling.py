@@ -5,10 +5,13 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from smartglass_ocr_spark.ops.sampling import (
     hash_sample,
     hash_split,
     length_buckets,
+    sequence_pack,
     stratified_sample,
 )
 
@@ -83,6 +86,84 @@ def test_split_and_sample_are_narrow(spark, docs):
     for df in (hash_split(docs), hash_sample(docs, 0.1)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def _naive_pack(toks, window):
+    """The definitionally-correct form: one GLOBAL-order cumsum."""
+    run = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    start = F.sum("n_tokens").over(run) - F.col("n_tokens")
+    off = start % window
+    return {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["spans_boundary"])
+        for r in toks.select(
+            "doc_id",
+            F.floor(start / window).alias("pack_id"),
+            off.alias("pack_offset"),
+            ((off + F.col("n_tokens")) > window).cast("int").alias(
+                "spans_boundary"
+            ),
+        ).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(spark, docs):
+    from smartglass_ocr_spark.ops.textstats import token_counts
+
+    return token_counts(docs).select("doc_id", "n_tokens")
+
+
+@pytest.mark.parametrize("group_size", [1, 64, 10_000])
+def test_sequence_pack_equals_global_cumsum(spark, doc_tokens, group_size):
+    """The two-phase grouped prefix must be bit-equal to the naive
+    single-partition global cumsum for ANY group size (1 = one group
+    per doc, 10_000 = whole corpus in one group — both degenerate
+    ends exercise the per-group totals / within-group split)."""
+    want = _naive_pack(doc_tokens, 512)
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["spans_boundary"])
+        for r in sequence_pack(
+            doc_tokens, window=512, group_size=group_size
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sequence_pack_invariants_and_partition_invariance(
+    spark, doc_tokens
+):
+    rows = sequence_pack(doc_tokens, window=512, group_size=64).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert 0 <= r["pack_offset"] < 512
+        assert r["spans_boundary"] == int(r["pack_offset"] + r["n_tokens"] > 512)
+    # every pack id up to the last token's pack is started by some doc
+    # only if offsets line up — weaker, always-true invariant: ids are
+    # within the token-budget range
+    assert all(0 <= r["pack_id"] <= total // 512 for r in rows)
+    # physical layout of the input must not change the packing
+    re7 = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in sequence_pack(
+            doc_tokens.repartition(7), window=512, group_size=64
+        ).collect()
+    }
+    assert re7 == {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"]) for r in rows
+    }
+
+
+def test_sequence_pack_plan_no_global_sort_of_corpus(spark, doc_tokens):
+    """Scale pin: the only unpartitioned window runs over the tiny
+    per-group totals frame; the corpus-sized frame sees a PARTITIONED
+    window plus a broadcast join — never a global single-partition
+    sort of all rows."""
+    df = sequence_pack(doc_tokens, window=512, group_size=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # exactly one single-partition exchange (the totals running sum)
+    assert plan.count("Exchange SinglePartition") == 1, plan
 
 
 def test_hash_split_rejects_zero_weight_sum(spark, docs):
