@@ -286,6 +286,18 @@ def _q_sequence_pack(spark, sf_dir):
     return sequence_pack(toks, window=512, group_size=64)
 
 
+def _q_mixture_sample(spark, sf_dir):
+    # target mixture: 3x weight on src0/src1, drop src2, rest 1x —
+    # exercises the cap (upweighted sources bind at rate 1.0), the
+    # downsample path, and the weight-0 drop in one query
+    from smartglass_ocr_spark.ops.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, {"src0": 3.0, "src1": 3.0, "src2": 0.0}
+    ).select("doc_id", "source")
+
+
 def _q_repetition_signals(spark, sf_dir):
     # Gopher-style repetition filters; thresholds lowered to where the
     # synthetic corpus has real flag signal (11 docs at sf0.01)
@@ -640,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
+        "mixture_sample": _q_mixture_sample,
         "dedup_components": _q_dedup_components,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -1194,6 +1207,33 @@ def oracle_sql() -> dict[str, str]:
                    s % 512 AS pack_offset,
                    (s % 512 + n_tokens > 512)::int AS spans_boundary
             FROM c
+        """,
+        # w/cap/rate forced to DOUBLE (bare 3.0 is DECIMAL in DuckDB,
+        # whose division rounds differently from IEEE doubles) so the
+        # rate expression is bit-identical to the engine's
+        "mixture_sample": """
+            WITH counts AS (
+                SELECT source, count(*) AS n FROM documents GROUP BY 1
+            ), wtd AS (
+                SELECT source, n,
+                       CASE WHEN source = 'src0' THEN 3.0::DOUBLE
+                            WHEN source = 'src1' THEN 3.0::DOUBLE
+                            WHEN source = 'src2' THEN 0.0::DOUBLE
+                            ELSE 1.0::DOUBLE END AS w
+                FROM counts
+            ), cap AS (
+                SELECT min(n / w) AS c FROM wtd WHERE w > 0
+            ), rates AS (
+                SELECT source,
+                       CASE WHEN w > 0
+                            THEN least(1.0::DOUBLE, w * c / n)
+                            ELSE 0.0::DOUBLE END AS rate
+                FROM wtd, cap
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r USING (source)
+            WHERE ('0x' || substr(md5(d.doc_id || ':mixture'), 1, 8))::BIGINT
+                  % 10000 < round(rate * 10000)
         """,
         "lang_id_counts": """
             WITH pred AS (

@@ -127,6 +127,78 @@ def length_buckets(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Domain-mixture resampling — the data-mixing step of a
+    pretraining pipeline: downsample each source so the surviving
+    corpus approaches the target mixture ``weights`` (relative
+    proportions; unlisted sources get ``default_weight``, weight 0
+    drops the source). Deterministic Bernoulli per source: no source
+    is ever upsampled, so the achievable mixture is capped by the
+    scarcest source relative to its weight — that source keeps 100%
+    (rate 1.0) and every other source keeps ``w_s * C / n_s`` where
+    ``C = min_t(n_t / w_t)``.
+
+    Scale shape: per-source counts are ONE partial-combining hash agg
+    over |sources| groups (bytes moved ~ one row per source per input
+    partition), the rates frame is |sources| rows broadcast back, and
+    membership is the same scan-stage md5-bucket predicate as
+    ``hash_sample`` — the corpus itself is never shuffled. Two scans
+    of the source column total (counts + the filtered pass); at
+    production scale the counts frame is the catalog statistic you
+    already have.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    if default_weight < 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+
+    def _w_of(col: Column) -> Column:
+        expr: Column | None = None
+        for name, w in weights.items():
+            cond = col == F.lit(name)
+            expr = (
+                F.when(cond, F.lit(float(w)))
+                if expr is None
+                else expr.when(cond, F.lit(float(w)))
+            )
+        return expr.otherwise(F.lit(float(default_weight)))
+
+    counts = (
+        docs.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", _w_of(F.col(source_col)))
+    )
+    cap = counts.filter(F.col("_w") > 0).agg(
+        F.min(F.col("_n") / F.col("_w")).alias("_cap")
+    )
+    rates = counts.crossJoin(F.broadcast(cap)).select(
+        source_col,
+        F.when(
+            F.col("_w") > 0,
+            F.least(F.lit(1.0), F.col("_w") * F.col("_cap") / F.col("_n")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_rate"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), source_col)
+        .filter(
+            _hash_bucket(F.col(key_col), salt)
+            < F.round(F.col("_rate") * _BUCKETS)
+        )
+        .drop("_rate")
+    )
+    # restore the caller's column order (join moved source_col first)
+    return kept.select(*docs.columns)
+
+
 def sequence_pack(
     doc_tokens: DataFrame,
     window: int = 2048,

@@ -11,6 +11,7 @@ from smartglass_ocr_spark.ops.sampling import (
     hash_sample,
     hash_split,
     length_buckets,
+    mixture_sample,
     sequence_pack,
     stratified_sample,
 )
@@ -86,6 +87,50 @@ def test_split_and_sample_are_narrow(spark, docs):
     for df in (hash_split(docs), hash_sample(docs, 0.1)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_mixture_sample_rates_and_caps(spark, docs):
+    """3x on src0/src1, drop src2, 1x rest: the upweighted sources
+    bind the cap (kept 100%), weight-1 sources downsample to ~1/3,
+    weight-0 vanishes — and no source is ever upsampled."""
+    out = mixture_sample(docs, {"src0": 3.0, "src1": 3.0, "src2": 0.0})
+    kept = {r["source"]: r["n"] for r in
+            out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept["src0"] == avail["src0"] and kept["src1"] == avail["src1"]
+    assert "src2" not in kept
+    for s, n in kept.items():
+        assert n <= avail[s], s  # Bernoulli: never upsampled
+        if s not in ("src0", "src1"):
+            # rate = 25/3/25 = 1/3; md5 uniformity over 25 draws
+            assert 2 <= n <= 16, (s, n)
+    # deterministic + layout-invariant
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            docs.repartition(9), {"src0": 3.0, "src1": 3.0, "src2": 0.0}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_mixture_sample_validation_and_plan(spark, docs):
+    with pytest.raises(ValueError, match="at least one source"):
+        mixture_sample(docs, {})
+    with pytest.raises(ValueError, match=">= 0"):
+        mixture_sample(docs, {"src0": -1.0})
+    # the corpus is never shuffled: rates arrive by broadcast join,
+    # the only exchanges belong to the |sources|-row counts agg
+    plan = (
+        mixture_sample(docs, {"src0": 2.0})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
 
 
 def _naive_pack(toks, window):
