@@ -298,6 +298,49 @@ def _q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_pii_scrub(spark, sf_dir):
+    # the synthetic corpus has no digits at all, so the PII signal is
+    # injected deterministically from doc_id (one category per doc by
+    # doc_id % 3) — the oracle performs the identical augmentation,
+    # then both engines run the SAME RE2-legal patterns
+    from smartglass_ocr_spark.ops.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    did = F.col("doc_id").cast("string")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                m == 0,
+                F.concat(
+                    F.lit(" reach user"), did, F.lit("@mail.example.com now")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                m == 1,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 7) % 256).cast("string"),
+                    F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                m == 2,
+                F.concat(
+                    F.lit(" call +1 555-01"),
+                    F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
 def _q_repetition_signals(spark, sf_dir):
     # Gopher-style repetition filters; thresholds lowered to where the
     # synthetic corpus has real flag signal (11 docs at sf0.01)
@@ -653,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
+        "pii_scrub": _q_pii_scrub,
         "dedup_components": _q_dedup_components,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -1207,6 +1251,38 @@ def oracle_sql() -> dict[str, str]:
                    s % 512 AS pack_offset,
                    (s % 512 + n_tokens > 512)::int AS spans_boundary
             FROM c
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 3 = 0 THEN
+                            ' reach user' || doc_id || '@mail.example.com now'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 3 = 1 THEN
+                            ' host 10.0.' || (doc_id % 256) || '.' ||
+                            ((doc_id * 7) % 256) || ' up'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 3 = 2 THEN
+                            ' call +1 555-01' ||
+                            lpad((doc_id % 100)::VARCHAR, 2, '0') || ' today'
+                            ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS clean_text,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                   len(regexp_extract_all(text,
+                       '\+?\d[\d\- ]{7,}\d')) AS n_phone
+            FROM aug
         """,
         # w/cap/rate forced to DOUBLE (bare 3.0 is DECIMAL in DuckDB,
         # whose division rounds differently from IEEE doubles) so the

@@ -313,3 +313,40 @@ def repetition_signals(
         .cast("int")
         .alias("repetitive"),
     )
+
+
+# PII patterns chosen for cross-engine regex parity: no lookbehind/
+# lookahead (RE2-legal, so the DuckDB oracle runs the SAME pattern),
+# ASCII word boundaries only. Scrub order matters and is fixed:
+# emails first (their local parts can contain digit runs), then IPv4
+# (dotted quads are not phone-shaped but a phone pattern with
+# permissive separators could nibble them), then phones.
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the compliance pass of a training-data
+    pipeline: masks emails, IPv4 addresses and phone-shaped digit
+    runs with typed placeholder tokens and emits per-doc match counts
+    (the audit trail: total masked volume per category is one sum
+    away).
+
+    Pure per-row projection built from ``regexp_extract_all`` /
+    ``regexp_replace`` — whole-stage codegen, no shuffle, no Python;
+    at 100 TB this runs entirely inside the scan stage and column
+    pruning keeps it to (id, text). Patterns are RE2-compatible by
+    construction so the oracle twin executes the identical regex.
+    """
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    clean = text
+    for _, pat, token in _PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select("doc_id", clean.alias("clean_text"), *counts)

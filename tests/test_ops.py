@@ -902,3 +902,33 @@ def test_repetition_signals_values(spark):
     assert rows[2]["repetitive"] == 0
     assert rows[3]["top_bigram_frac"] == 1.0
     assert rows[3]["dup_trigram_frac"] == 0.0
+
+
+def test_pii_scrub_hand_examples(spark):
+    """Placeholder substitution, per-category counts, scrub ORDER
+    (emails before IPs before phones — a phone pattern must never
+    nibble an already-typed span), and zero-shuffle plan."""
+    from smartglass_ocr_spark.ops.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.co and bob@mail.example.com twice"),
+            (2, "server 192.168.1.254 then call +1 555-0123 99 ok"),
+            (3, "id 10.0.0.1 and 8.8.8.8 plain words"),
+            (4, "no pii here at all"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["clean_text"] == "mail <EMAIL> and <EMAIL> twice"
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (2, 0, 0)
+    # greedy separator class: the run extends through ' 99'
+    assert out[2]["clean_text"] == "server <IP> then call <PHONE> ok"
+    assert out[2]["n_ip"] == 1 and out[2]["n_phone"] == 1
+    assert out[3]["clean_text"] == "id <IP> and <IP> plain words"
+    assert out[4]["clean_text"] == "no pii here at all"
+    assert (out[4]["n_email"], out[4]["n_ip"], out[4]["n_phone"]) == (0, 0, 0)
+    assert out[5]["clean_text"] == ""
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
