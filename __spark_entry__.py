@@ -298,6 +298,18 @@ def _q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def _q_vocab_topk(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def _q_collocations(spark, sf_dir):
+    from smartglass_ocr_spark.ops.textstats import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=5, k=50)
+
+
 def _q_pii_scrub(spark, sf_dir):
     # the synthetic corpus has no digits at all, so the PII signal is
     # injected deterministically from doc_id (one category per doc by
@@ -697,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
         "pii_scrub": _q_pii_scrub,
+        "vocab_topk": _q_vocab_topk,
+        "collocations": _q_collocations,
         "dedup_components": _q_dedup_components,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -1251,6 +1265,49 @@ def oracle_sql() -> dict[str, str]:
                    s % 512 AS pack_offset,
                    (s % 512 + n_tokens > 512)::int AS spans_boundary
             FROM c
+        """,
+        "vocab_topk": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM t GROUP BY 1
+            ORDER BY n_occ DESC, token LIMIT 50
+        """,
+        # lift on the integer-millionths grid via explicitly-DOUBLE
+        # IEEE arithmetic (same expression order as the engine); ln()
+        # would be a libm last-ulp hazard between engines
+        "collocations": r"""
+            WITH arr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(a) AS token,
+                       generate_subscripts(a, 1) AS pos
+                FROM arr
+            ), uni AS (
+                SELECT token, count(*) AS c1 FROM tok GROUP BY 1
+            ), tot AS (
+                SELECT count(*) AS n_tok FROM tok
+            ), big AS (
+                SELECT t1.token AS tok_a, t2.token AS tok_b,
+                       count(*) AS c_ab
+                FROM tok t1
+                JOIN tok t2
+                  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT tok_a, tok_b, c_ab,
+                   CAST(round(c_ab::DOUBLE * n_tok * 1000000
+                              / (ua.c1 * ub.c1)) AS BIGINT) AS lift_e6
+            FROM big
+            JOIN uni ua ON ua.token = tok_a
+            JOIN uni ub ON ub.token = tok_b, tot
+            ORDER BY lift_e6 DESC, tok_a, tok_b LIMIT 50
         """,
         "pii_scrub": r"""
             WITH aug AS (

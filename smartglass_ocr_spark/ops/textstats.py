@@ -350,3 +350,105 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, token in _PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, token)
     return docs.select("doc_id", clean.alias("clean_text"), *counts)
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary heavy-hitters: top-``k`` whitespace tokens by
+    occurrence count with document frequency — the stopword-discovery /
+    tokenizer-vocab-seeding pass. One explode + ONE partial-combining
+    hash agg (per-partition map-side combine collapses each partition
+    to its local vocab before the word-key exchange), then a global
+    top-k that Spark executes as TakeOrderedAndProject — per-partition
+    k-row heaps merged on the driver, never a full sort of the
+    vocabulary. Ties break to the lexicographically smaller token so
+    the result is deterministic and oracle-hashable."""
+    tok = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    return (
+        docs.select("doc_id", tok)
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.count_distinct(F.col("doc_id")).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram collocation mining (phrase discovery): adjacent token
+    pairs scored by association lift ``count(ab) * n_tokens /
+    (count(a) * count(b))`` — the PMI argument before the log, emitted
+    on an integer millionths grid (``round(.. * 1e6)``) because the
+    grid is exact integer arithmetic in both engines where ``ln`` is
+    a libm last-ulp hazard; callers wanting true PMI take the log of
+    ``lift_e6 / 1e6`` downstream, which is order-preserving.
+
+    Shape — the corpus is scanned ONCE. A naive build needs three
+    corpus passes (unigram agg, bigram agg, token total) because
+    Catalyst never reuses identical branch subtrees (the repo's
+    pinned trap class). Instead one index explode emits sentinel-
+    padded adjacent pairs — ``(NULL, first)``, every ``(w_i,
+    w_{i+1})``, ``(last, NULL)`` — and ONE (tok_a, tok_b) count agg
+    produces a pairs frame from which everything else derives by
+    plain arithmetic: unigram count of ``t`` = sum of pair counts
+    with ``tok_a = t`` (each occurrence is left-position exactly
+    once, thanks to the trailing sentinel), token total = sum over
+    non-null ``tok_a``, bigram counts = the non-sentinel rows. That
+    diamond intermediate is vocab²-bounded (orders of magnitude below
+    corpus size) and is ``persist()``-ed so the three consumers reuse
+    one scan — caching is Spark's mechanism for cross-branch reuse;
+    callers owning the session can ``.unpersist()`` the input of the
+    returned plan when done. The uni-count joins shuffle on word keys
+    (AQE handles skew); ``min_count`` prunes the bigram tail BEFORE
+    the joins. ``lift_e6`` is computed in explicitly-double IEEE
+    arithmetic mirrored by the oracle."""
+    arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = docs.select(
+        arr.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.size(arr))).alias("_i"),
+    ).select(
+        F.get(F.col("_w"), F.col("_i") - 1).alias("tok_a"),
+        F.get(F.col("_w"), F.col("_i")).alias("tok_b"),
+    )
+    P = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c")).persist()
+    uni = (
+        P.filter(F.col("tok_a").isNotNull())
+        .groupBy("tok_a")
+        .agg(F.sum("c").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("n_tok"))
+    big = P.filter(
+        F.col("tok_a").isNotNull()
+        & F.col("tok_b").isNotNull()
+        & (F.col("c") >= min_count)
+    ).select("tok_a", "tok_b", F.col("c").alias("c_ab"))
+    ua = uni.select("tok_a", F.col("c1").alias("c_a"))
+    ub = uni.select(F.col("tok_a").alias("tok_b"), F.col("c1").alias("c_b"))
+    return (
+        big.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_tok")
+                * F.lit(1_000_000)
+                / (F.col("c_a") * F.col("c_b"))
+            )
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(k)
+    )

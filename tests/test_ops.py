@@ -932,3 +932,57 @@ def test_pii_scrub_hand_examples(spark):
     assert out[5]["clean_text"] == ""
     plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_vocab_topk_counts_and_plan(spark):
+    from smartglass_ocr_spark.ops.textstats import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = [(r["token"], r["n_occ"], r["n_docs"]) for r in
+            vocab_topk(docs, k=2).collect()]
+    assert rows == [("a", 3, 2), ("b", 2, 2)]
+    # global top-k must plan as per-partition heaps, not a full sort
+    plan = (
+        vocab_topk(docs, k=2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_collocations_sentinel_math(spark):
+    """The pairs-frame derivation (unigram counts = left-position
+    sums over sentinel-padded pairs) must equal the direct counts."""
+    from collections import Counter
+    from smartglass_ocr_spark.ops.textstats import collocations
+
+    texts = ["x y x y z", "x y q", "z x y"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    uni = Counter(w for t in texts for w in t.split())
+    big = Counter(
+        (a, b)
+        for t in texts
+        for a, b in zip(t.split(), t.split()[1:])
+    )
+    n_tok = sum(uni.values())
+    want = sorted(
+        (
+            (a, b, c, round(float(c) * n_tok * 1_000_000 / (uni[a] * uni[b])))
+            for (a, b), c in big.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )
+    out = collocations(docs, min_count=2, k=10)
+    got = [
+        (r["tok_a"], r["tok_b"], r["c_ab"], r["lift_e6"])
+        for r in out.collect()
+    ]
+    assert got == want
+    # the diamond intermediate is cached: consumers read the
+    # InMemoryRelation, the corpus is scanned once
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
