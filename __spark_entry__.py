@@ -380,6 +380,15 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=4)
 
 
+def _q_passage_dedup(spark, sf_dir):
+    # cross-doc duplicated-passage removal: 4-grams in >2 docs are
+    # corpus boilerplate (100 hot grams of 24k at sf0.01 — removes
+    # real spans without flattening the corpus)
+    from smartglass_ocr_spark.ops.dedup import passage_dedup
+
+    return passage_dedup(_t(spark, sf_dir, "documents"), n=4, max_df=2)
+
+
 def _q_lang_id_counts(spark, sf_dir):
     # confusion counts in ONE corpus scan: the label column rides the
     # lang_id projection instead of joining back to the source
@@ -705,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "doc_fingerprint": _q_doc_fingerprint,
         "decontaminate": _q_decontaminate,
+        "passage_dedup": _q_passage_dedup,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
@@ -1222,6 +1232,45 @@ def oracle_sql() -> dict[str, str]:
                    (count(bg.shingle) > 0)::int AS contaminated
             FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
             GROUP BY cg.doc_id
+        """,
+        # passage dedup: hot 4-grams (df > 2) cover token positions
+        # via the same n-1-PRECEDING range-frame running sum the
+        # engine uses; string_agg FILTER rebuilds survivors in order.
+        # coalesce('') mirrors Spark concat_ws over an empty array
+        # (DuckDB string_agg of zero rows is NULL — pinned engine
+        # diff); sum(covered) cast to BIGINT (DuckDB sum(int) is
+        # HUGEINT, Spark's is long).
+        "passage_dedup": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+            ), hot AS (
+                SELECT array_to_string(w[i:i+3], ' ') AS gram
+                FROM toks, UNNEST(range(1, greatest(0, len(w) - 3) + 1)) AS t(i)
+                WHERE len(w) >= 4
+                GROUP BY gram HAVING count(DISTINCT doc_id) > 2
+            ), prows AS (
+                SELECT doc_id, i AS pos, w[i] AS tok,
+                       CASE WHEN i <= len(w) - 3
+                            THEN array_to_string(w[i:i+3], ' ') END AS gram
+                FROM toks, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), hitrows AS (
+                SELECT r.doc_id, r.pos, r.tok,
+                       CASE WHEN h.gram IS NOT NULL THEN 1 END AS hit
+                FROM prows r LEFT JOIN hot h ON r.gram = h.gram
+            ), marked AS (
+                SELECT doc_id, pos, tok,
+                       CASE WHEN coalesce(SUM(hit) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                RANGE BETWEEN 3 PRECEDING AND CURRENT ROW
+                            ), 0) > 0 THEN 1 ELSE 0 END AS covered
+                FROM hitrows
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY pos)
+                            FILTER (WHERE covered = 0), '') AS clean_text,
+                   count(*) AS n_tokens,
+                   CAST(sum(covered) AS BIGINT) AS n_removed
+            FROM marked GROUP BY doc_id
         """,
         "repetition_signals": """
             WITH toks AS (

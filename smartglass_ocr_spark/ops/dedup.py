@@ -960,3 +960,96 @@ def decontaminate(
             (F.col("n_contaminated") > 0).cast("int").alias("contaminated"),
         )
     )
+
+
+def passage_dedup(
+    docs: DataFrame,
+    n: int = 8,
+    max_df: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-passage removal (the n-gram-granular
+    form of Lee et al. 2022's exact-substring dedup, the pass C4/
+    MassiveText-class pipelines run *after* whole-doc dedup): any word
+    ``n``-gram occurring in more than ``max_df`` distinct documents is
+    corpus-level boilerplate — every token occurrence it covers is
+    stripped from every document, and the survivors are reassembled in
+    order.
+
+    Returns ``(doc_id, clean_text, n_tokens, n_removed)``. Documents
+    shorter than ``n`` tokens emit no grams and are never edited
+    (whole-short-doc duplicates belong to exact dedup, not here).
+
+    Shape (100 TB): two corpus scans and exactly three wide
+    exchanges. Scan 1 aggregates gram document frequency (a
+    count-distinct agg keyed on the gram: pair-distinct exchange then
+    df-count exchange) into the hot-gram set — boilerplate is
+    vocabulary-bounded, orders smaller than the corpus — which joins
+    back by Catalyst/AQE choice (broadcast when it fits). Scan 2
+    explodes token positions once; a position is covered iff some hot
+    gram STARTS within the previous ``n-1`` positions, which a single
+    range-frame running sum per document computes — no
+    cover-interval explode, no distinct, no anti-join, and the
+    window's ``doc_id`` exchange is the same partitioning the final
+    per-doc reassembly agg needs, so the rebuild is exchange-free.
+    Re-deriving the corpus on scan 2 is deliberate: Catalyst never
+    reuses branch subtrees, and at corpus scale a second parquet scan
+    beats caching an exploded token frame.
+
+    Reference tie-in: the reference strips *within-doc* boilerplate
+    by rule (lib/text_processing.py post-processing); this is the
+    corpus-level statistical analogue a 10^12-doc pipeline needs.
+    """
+    from pyspark.sql.window import Window
+
+    toks = _tokens(text_col)
+    hot = (
+        _shingle_rows_raw(
+            docs.filter(F.size(toks) >= n), n, text_col
+        )
+        .groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("shingle")
+    )
+    rows = docs.select(
+        "doc_id",
+        toks.alias("_w"),
+        F.explode(F.sequence(F.lit(1), F.size(toks))).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.element_at("_w", F.col("pos")).alias("tok"),
+        F.when(
+            F.col("pos") <= F.size("_w") - F.lit(n - 1),
+            F.concat_ws(" ", F.slice(F.col("_w"), F.col("pos"), n)),
+        ).alias("gram"),
+    )
+    hit = rows.join(
+        hot.withColumnRenamed("shingle", "gram").withColumn("_hot", F.lit(1)),
+        "gram",
+        "left",
+    )
+    cover_w = (
+        Window.partitionBy("doc_id").orderBy("pos").rangeBetween(-(n - 1), 0)
+    )
+    marked = hit.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.sum("_hot").over(cover_w) > 0).cast("int").alias("covered"),
+    ).withColumn("covered", F.coalesce(F.col("covered"), F.lit(0)))
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(F.col("covered") == 0, F.struct("pos", "tok"))
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", kept.getField("tok")).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("covered").alias("n_removed"),
+        )
+        .select("doc_id", "clean_text", "n_tokens", "n_removed")
+    )

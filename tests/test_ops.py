@@ -986,3 +986,52 @@ def test_collocations_sentinel_math(spark):
     # InMemoryRelation, the corpus is scanned once
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_passage_dedup_hand_example(spark):
+    """Hand corpus: an 8-gram shared by 3 docs (> max_df=2) is
+    stripped from every occurrence including mid-doc, a unique doc is
+    untouched, a doc shorter than n never participates, and a fully-
+    boilerplate doc collapses to '' (not NULL)."""
+    from smartglass_ocr_spark.ops.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x a b c d e f g h y"),
+            (3, "a b c d e f g h"),
+            (4, "q w e r t y u i o p"),
+            (5, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in passage_dedup(docs, n=8, max_df=2).collect()
+    }
+    assert rows[1]["clean_text"] == "i j" and rows[1]["n_removed"] == 8
+    assert rows[2]["clean_text"] == "x y" and rows[2]["n_removed"] == 8
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 8
+    assert rows[4]["clean_text"] == "q w e r t y u i o p"
+    assert rows[4]["n_removed"] == 0
+    assert rows[5]["clean_text"] == "short doc" and rows[5]["n_removed"] == 0
+    assert [rows[i]["n_tokens"] for i in (1, 2, 3, 4, 5)] == [10, 10, 8, 10, 2]
+
+
+def test_passage_dedup_overlapping_covers_once(spark):
+    """Overlapping hot-gram occurrences cover a position once: with
+    n=2, 'a a a' in 3 docs makes 'a a' hot; every position of every
+    occurrence is covered exactly once in the removal count (no
+    double-count from the two overlapping starts)."""
+    from smartglass_ocr_spark.ops.dedup import passage_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "z a a a z"), (2, "a a"), (3, "p a a q"), (4, "a a r")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in passage_dedup(docs, n=2, max_df=2).collect()
+    }
+    assert rows[1]["clean_text"] == "z z" and rows[1]["n_removed"] == 3
+    assert rows[2]["clean_text"] == "" and rows[2]["n_removed"] == 2
+    assert rows[3]["clean_text"] == "p q" and rows[3]["n_removed"] == 2
+    assert rows[4]["clean_text"] == "r" and rows[4]["n_removed"] == 2

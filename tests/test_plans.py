@@ -163,3 +163,24 @@ def test_repetition_signals_single_scan(spark, queries):
     assert plan.count("FileScan") == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan
+
+
+def test_passage_dedup_window_partitioning_reused(spark, queries):
+    """Passage dedup: two deliberate corpus scans (hot-gram build +
+    token pass; Catalyst never reuses branch subtrees, and a second
+    parquet scan beats caching an exploded token frame at corpus
+    scale), the hot-gram set joins back as a BROADCAST, and the
+    coverage window's doc_id exchange is the SAME partitioning the
+    final per-doc rebuild agg consumes — exactly three hash
+    exchanges total (pair-distinct + df-count on the vocabulary-keyed
+    hot side, one doc_id exchange on the token side), with no
+    exchange between Window and the final aggregate."""
+    plan = _plan(queries["passage_dedup"](spark, SF))
+    assert plan.count("FileScan") == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    # the rebuild agg sits directly on the window output: everything
+    # after the doc_id exchange is exchange-free
+    tail = plan.split("Window ")[0]
+    assert "Exchange" not in tail.split("ObjectHashAggregate")[-1]
