@@ -389,6 +389,21 @@ def _q_passage_dedup(spark, sf_dir):
     return passage_dedup(_t(spark, sf_dir, "documents"), n=4, max_df=2)
 
 
+def _q_lm_score(spark, sf_dir):
+    # LM quality scoring against a two-source reference corpus: small
+    # enough that the stupid-backoff path (1018 rows at sf0.01) and
+    # the OOV path (26 rows) BOTH fire on the scored corpus — a
+    # full-corpus train covers every bigram of the shared synthetic
+    # vocabulary and would leave backoff dead in the contract
+    from pyspark.sql import functions as F
+
+    from smartglass_ocr_spark.ops.textstats import lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source").isin("src0", "src1"))
+    return lm_score(docs, train=train)
+
+
 def _q_lang_id_counts(spark, sf_dir):
     # confusion counts in ONE corpus scan: the label column rides the
     # lang_id projection instead of joining back to the source
@@ -715,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "decontaminate": _q_decontaminate,
         "passage_dedup": _q_passage_dedup,
+        "lm_score": _q_lm_score,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
@@ -1232,6 +1248,62 @@ def oracle_sql() -> dict[str, str]:
                    (count(bg.shingle) > 0)::int AS contaminated
             FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
             GROUP BY cg.doc_id
+        """,
+        # LM scoring: sentinel-padded adjacent pairs (w[0]/w[len+1]
+        # are NULL in DuckDB 1-based lists, mirroring Spark's
+        # out-of-range F.get), stupid-backoff per-bigram scores
+        # floored onto the ppm grid BEFORE summing (float sums are
+        # order-dependent; int sums are not), every division a single
+        # int/int IEEE op, 0.4 forced ::DOUBLE (bare decimal literals
+        # divide on the DECIMAL grid in DuckDB), sums cast off
+        # HUGEINT before dividing.
+        "lm_score": """
+            WITH tr AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE source IN ('src0', 'src1')
+            ), pr AS (
+                SELECT w[i] AS tok_a, w[i+1] AS tok_b
+                FROM tr, UNNEST(range(0, len(w) + 1)) AS t(i)
+            ), P AS (
+                SELECT tok_a, tok_b, count(*) AS c FROM pr GROUP BY 1, 2
+            ), uni AS (
+                SELECT tok_a, CAST(sum(c) AS BIGINT) AS c1
+                FROM P WHERE tok_a IS NOT NULL GROUP BY 1
+            ), tot AS (
+                SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM uni
+            ), big AS (
+                SELECT tok_a AS w1, tok_b AS w2, c AS c_ab
+                FROM P WHERE tok_a IS NOT NULL AND tok_b IS NOT NULL
+            ), dr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ), trows AS (
+                SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                FROM dr, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), scored AS (
+                SELECT r.doc_id,
+                       CASE WHEN u1.c1 IS NULL THEN 1 ELSE 0 END AS oov,
+                       CASE WHEN r.w2 IS NOT NULL THEN
+                           CAST(floor(
+                               CASE WHEN b.c_ab IS NOT NULL
+                                    THEN b.c_ab / u1.c1
+                                    ELSE (0.4::DOUBLE * coalesce(u2.c1, 0)) / t.n_tok
+                               END * 1000000.0) AS BIGINT)
+                       END AS score_ppm
+                FROM trows r
+                LEFT JOIN uni u1 ON r.w1 = u1.tok_a
+                LEFT JOIN uni u2 ON r.w2 = u2.tok_a
+                LEFT JOIN big b ON r.w1 = b.w1 AND r.w2 = b.w2
+                CROSS JOIN tot t
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(oov) AS BIGINT) AS n_oov,
+                   CAST(sum(oov) AS BIGINT) / count(*) AS oov_rate,
+                   CASE WHEN count(score_ppm) > 0
+                        THEN CAST(sum(score_ppm) AS BIGINT) / count(score_ppm)
+                   END AS avg_score_ppm
+            FROM scored GROUP BY doc_id
         """,
         # passage dedup: hot 4-grams (df > 2) cover token positions
         # via the same n-1-PRECEDING range-frame running sum the

@@ -452,3 +452,129 @@ def collocations(
         .orderBy(F.desc("lift_e6"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(k)
     )
+
+
+def lm_score(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """N-gram language-model quality scoring — the CCNet-style
+    "perplexity filter" a pretraining pipeline runs to rank documents
+    against a clean reference corpus, as a bigram stupid-backoff model
+    (Brants et al. 2007: at web scale backoff weights are a fixed
+    ``alpha``, not trained discounts). Per document:
+
+    - ``oov_rate``: fraction of tokens absent from the train unigrams
+    - ``avg_score_ppm``: mean per-bigram score on the integer
+      millionths grid, where a seen bigram scores ``c(w1,w2)/c(w1)``
+      and an unseen one backs off to ``alpha * c(w2)/T``
+
+    Scores are floored onto the ppm grid BEFORE the per-doc sum so
+    the sum is exact integer arithmetic — a float sum's value depends
+    on aggregation order, which no distributed engine (or oracle)
+    reproduces; each per-bigram score is a fixed two-or-three-op IEEE
+    chain, identical in any engine. True log-domain perplexity is a
+    monotone transform callers apply downstream; it is kept out of
+    the operator because ``ln`` is a cross-engine libm last-ulp
+    hazard (the repo's pinned trap from ``collocations``).
+
+    Shape (100 TB): the train side is scanned ONCE via the sentinel-
+    padded adjacent-pair frame (``collocations``' trick — unigram
+    counts, token total and bigram counts all derive from one
+    vocab²-bounded persisted agg, because Catalyst never reuses
+    branch subtrees). The corpus side explodes token rows once; the
+    two unigram joins broadcast when ``broadcast_vocab`` (a vocabulary
+    is orders below corpus size; pass False on a 100M+-type vocab and
+    AQE plans shuffle joins), the bigram join is an equi-key join
+    Catalyst/AQE sizes, and the final per-doc agg is the single
+    guaranteed corpus exchange.
+
+    ``train`` defaults to ``docs`` (self-scoring); the production use
+    is a held-out clean corpus, which also exercises the backoff path
+    (self-scoring never can — every doc bigram is in its own train
+    set by construction).
+    """
+    train = docs if train is None else train
+    arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = train.select(
+        arr.alias("_w"),
+        F.explode(F.sequence(F.lit(0), F.size(arr))).alias("_i"),
+    ).select(
+        F.get(F.col("_w"), F.col("_i") - 1).alias("tok_a"),
+        F.get(F.col("_w"), F.col("_i")).alias("tok_b"),
+    )
+    P = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c")).persist()
+    uni = (
+        P.filter(F.col("tok_a").isNotNull())
+        .groupBy("tok_a")
+        .agg(F.sum("c").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("n_tok"))
+    big = P.filter(
+        F.col("tok_a").isNotNull() & F.col("tok_b").isNotNull()
+    ).select(
+        F.col("tok_a").alias("w1"),
+        F.col("tok_b").alias("w2"),
+        F.col("c").alias("c_ab"),
+    )
+    u1 = uni.select(F.col("tok_a").alias("w1"), F.col("c1").alias("c_w1"))
+    u2 = uni.select(F.col("tok_a").alias("w2"), F.col("c1").alias("c_w2"))
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
+    rows = docs.select(
+        "doc_id",
+        arr.alias("_w"),
+        F.explode(F.sequence(F.lit(1), F.size(arr))).alias("pos"),
+    ).select(
+        "doc_id",
+        F.get(F.col("_w"), F.col("pos") - 1).alias("w1"),
+        F.get(F.col("_w"), F.col("pos")).alias("w2"),
+    )
+    scored = (
+        rows.join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .join(big, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("c_w1").isNull().cast("int").alias("oov"),
+            F.when(
+                F.col("w2").isNotNull(),
+                F.floor(
+                    F.when(
+                        F.col("c_ab").isNotNull(),
+                        F.col("c_ab") / F.col("c_w1"),
+                    ).otherwise(
+                        F.lit(alpha)
+                        * F.coalesce(F.col("c_w2"), F.lit(0))
+                        / F.col("n_tok")
+                    )
+                    * F.lit(1_000_000.0)
+                ).cast("bigint"),
+            ).alias("score_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.sum("score_ppm").alias("_ssum"),
+            F.count("score_ppm").alias("_nb"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            # single int/int IEEE division — bit-identical in any
+            # engine, no rounding grid needed (a round(x, 6) would
+            # reintroduce the half-up-vs-half-even tie hazard)
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+            F.when(
+                F.col("_nb") > 0, F.col("_ssum") / F.col("_nb")
+            ).alias("avg_score_ppm"),
+        )
+    )

@@ -1035,3 +1035,42 @@ def test_passage_dedup_overlapping_covers_once(spark):
     assert rows[2]["clean_text"] == "" and rows[2]["n_removed"] == 2
     assert rows[3]["clean_text"] == "p q" and rows[3]["n_removed"] == 2
     assert rows[4]["clean_text"] == "r" and rows[4]["n_removed"] == 2
+
+
+def test_lm_score_hand_values(spark):
+    """Stupid-backoff hand model: train 'the cat sat'/'the cat ran'.
+    Seen bigrams score c(ab)/c(a) (doc 1: (1000000+500000)/2); unseen
+    ones back off to 0.4*c(b)/T on the floored ppm grid (doc 2:
+    (0 + 66666)/2 — c(dog)=0 and c(sat)=1, T=6); a fully-OOV doc
+    scores 0 with oov_rate 1.0."""
+    from smartglass_ocr_spark.ops.textstats import lm_score
+
+    train = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "the cat ran")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "zz qq")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs, train=train).collect()}
+    assert rows[1]["avg_score_ppm"] == 750000.0
+    assert rows[1]["oov_rate"] == 0.0
+    assert rows[2]["avg_score_ppm"] == 33333.0
+    assert rows[2]["n_oov"] == 1 and rows[2]["oov_rate"] == 1 / 3
+    assert rows[3]["avg_score_ppm"] == 0.0 and rows[3]["oov_rate"] == 1.0
+
+
+def test_lm_score_self_train_default(spark):
+    """train=None scores against the corpus itself: every bigram is
+    then seen by construction, so no doc backs off and no token is
+    OOV."""
+    from smartglass_ocr_spark.ops.textstats import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    # c(a b)=2/c(a)=2 -> 1.0; c(b c)=1/c(b)=2 -> 0.5
+    assert rows[1]["avg_score_ppm"] == 750000.0
+    assert rows[2]["avg_score_ppm"] == 750000.0
+    assert all(r["n_oov"] == 0 for r in rows.values())

@@ -184,3 +184,16 @@ def test_passage_dedup_window_partitioning_reused(spark, queries):
     # after the doc_id exchange is exchange-free
     tail = plan.split("Window ")[0]
     assert "Exchange" not in tail.split("ObjectHashAggregate")[-1]
+
+
+def test_lm_score_cached_diamond_and_broadcasts(spark, queries):
+    """LM scoring: the train-side pairs agg is persisted and its
+    three derivations (unigram counts x2 roles, token total, bigram
+    table) all hit the InMemoryRelation instead of re-deriving the
+    corpus subtree; every vocabulary join is a BROADCAST (no
+    SortMergeJoin anywhere, so corpus token rows cross exactly one
+    guaranteed exchange — the per-doc agg)."""
+    plan = _plan(queries["lm_score"](spark, SF))
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
