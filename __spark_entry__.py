@@ -404,6 +404,16 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(docs, train=train)
 
 
+def _q_shuffle_shard(spark, sf_dir):
+    # one epoch of the deterministic training shuffle: 8 shards,
+    # md5(key:seed) order within each
+    from smartglass_ocr_spark.ops.sampling import shuffle_shard
+
+    return shuffle_shard(
+        _t(spark, sf_dir, "documents"), n_shards=8, seed="epoch0"
+    ).select("doc_id", "shard", "pos")
+
+
 def _q_lang_id_counts(spark, sf_dir):
     # confusion counts in ONE corpus scan: the label column rides the
     # lang_id projection instead of joining back to the source
@@ -731,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "passage_dedup": _q_passage_dedup,
         "lm_score": _q_lm_score,
+        "shuffle_shard": _q_shuffle_shard,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
@@ -1248,6 +1259,23 @@ def oracle_sql() -> dict[str, str]:
                    (count(bg.shingle) > 0)::int AS contaminated
             FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
             GROUP BY cg.doc_id
+        """,
+        # epoch shuffle: shard = 32-bit md5 prefix mod 8 (the repo's
+        # standard cross-engine bucket), pos = row_number over the
+        # full md5 with the key as tie-break
+        "shuffle_shard": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       md5(doc_id || ':epoch0') AS sk,
+                       CAST(('0x' || substr(md5(doc_id || ':epoch0'), 1, 8))::BIGINT
+                            % 8 AS INT) AS shard
+                FROM documents
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY sk, doc_id::VARCHAR
+                   ) AS pos
+            FROM keyed
         """,
         # LM scoring: sentinel-padded adjacent pairs (w[0]/w[len+1]
         # are NULL in DuckDB 1-based lists, mirroring Spark's

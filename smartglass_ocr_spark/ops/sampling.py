@@ -256,3 +256,67 @@ def sequence_pack(
         off.alias("pack_offset"),
         ((off + F.col(tokens_col)) > window).cast("int").alias("spans_boundary"),
     )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "epoch0",
+    pre_partition: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row
+    gets a ``shard`` in [0, n_shards) and a 1-based ``pos`` within its
+    shard, both pure functions of (key, seed) — a new ``seed`` is a
+    new epoch permutation, reproducible on any engine and any input
+    layout (the property that lets a 10^12-doc run resume mid-epoch).
+    Shard = 32-bit md5 prefix mod ``n_shards`` (the repo's standard
+    cross-engine bucket construction); within-shard order = the full
+    md5 string with the key as tie-break.
+
+    There is no global sort anywhere: the only wide operation is ONE
+    hash exchange on ``shard`` feeding the per-shard ``row_number``
+    sort. Size ``n_shards`` like the output file count (10^4-10^5 at
+    100 TB) and each window partition is corpus/n_shards rows.
+    ``pre_partition=True`` repartitions to exactly ``n_shards``
+    tasks first — the window then finds its clustering requirement
+    already satisfied (no second exchange), which is how
+    :func:`write_shuffle_shards` gets sorted one-file-per-shard
+    output for the price of the single exchange.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    k = F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(seed)))
+    out = df.withColumn("_sk", k).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("_sk"), 1, 8), 16, 10).cast("bigint")
+         % n_shards).cast("int"),
+    )
+    if pre_partition:
+        out = out.repartition(n_shards, "shard")
+    w = Window.partitionBy("shard").orderBy("_sk", F.col(key_col).cast("string"))
+    return out.withColumn("pos", F.row_number().over(w)).drop("_sk")
+
+
+def write_shuffle_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: str = "epoch0",
+    mode: str = "error",
+) -> None:
+    """Materialize one epoch of :func:`shuffle_shard` as a
+    ``shard=K/`` partitioned parquet table with exactly one file per
+    shard, rows inside each file already in ``pos`` order (the window
+    sort doubles as the write order — training readers stream the
+    file sequentially, no shuffle at read time). One exchange total:
+    the pre-partition satisfies the window's clustering requirement
+    AND lands each shard wholly in one task, so every ``shard=K/``
+    directory holds exactly one file."""
+    (
+        shuffle_shard(df, n_shards, key_col, seed, pre_partition=True)
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )

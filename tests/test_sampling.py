@@ -216,3 +216,72 @@ def test_hash_split_rejects_zero_weight_sum(spark, docs):
 
     with pytest.raises(ValueError, match="weights must sum to > 0"):
         hash_split(docs, weights={"a": 0.0, "b": 0.0})
+
+
+def test_shuffle_shard_deterministic_permutation(spark, docs):
+    from smartglass_ocr_spark.ops.sampling import shuffle_shard
+
+    a = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shard(docs, n_shards=8).collect()
+    }
+    # layout-invariant: same assignment from a different physical layout
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shard(docs.repartition(13), n_shards=8).collect()
+    }
+    assert a == b
+    # a permutation: within each shard, pos is exactly 1..len(shard)
+    by_shard: dict[int, list[int]] = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == set(range(8))
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # a new seed is a new epoch: membership of the corpus is identical
+    # but the permutation differs
+    c = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shard(docs, n_shards=8, seed="epoch1").collect()
+    }
+    assert set(c) == set(a) and c != a
+
+
+def test_shuffle_shard_single_exchange_when_prepartitioned(spark, docs):
+    """pre_partition=True: the explicit n_shards repartition satisfies
+    the window's clustering requirement — exactly ONE exchange total,
+    no second exchange for the row_number."""
+    from smartglass_ocr_spark.ops.sampling import shuffle_shard
+
+    plan = (
+        shuffle_shard(docs, n_shards=8, pre_partition=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_write_shuffle_shards_one_sorted_file_per_shard(spark, docs, tmp_path):
+    from smartglass_ocr_spark.ops.sampling import shuffle_shard, write_shuffle_shards
+
+    path = str(tmp_path / "shards")
+    write_shuffle_shards(docs, path, n_shards=8)
+    import glob
+
+    for k in range(8):
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        assert len(files) == 1, (k, files)
+    back = spark.read.parquet(path)
+    want = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in shuffle_shard(docs, n_shards=8).collect()
+    }
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in back.collect()}
+    assert got == want
+    # rows inside each shard file are physically in pos order (the
+    # training reader streams sequentially, no sort at read time)
+    import pyarrow.parquet as pq
+
+    for k in range(8):
+        (f,) = glob.glob(f"{path}/shard={k}/*.parquet")
+        pos = pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
+        assert pos == sorted(pos), k
