@@ -414,6 +414,18 @@ def _q_shuffle_shard(spark, sf_dir):
     ).select("doc_id", "shard", "pos")
 
 
+def _q_bpe_merges(spark, sf_dir):
+    # distributed BPE tokenizer training (no oracle: round r's input
+    # depends on round r-1's argmax — genuinely non-SQL-expressible,
+    # the documented iterative-algorithm class; pinned instead by
+    # pytest byte-equality vs a pure-Python reference trainer)
+    from smartglass_ocr_spark.ops.bpe import bpe_merges_table, bpe_train
+
+    return bpe_merges_table(
+        spark, bpe_train(_t(spark, sf_dir, "documents"), n_merges=16)
+    )
+
+
 def _q_lang_id_counts(spark, sf_dir):
     # confusion counts in ONE corpus scan: the label column rides the
     # lang_id projection instead of joining back to the source
@@ -742,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _q_passage_dedup,
         "lm_score": _q_lm_score,
         "shuffle_shard": _q_shuffle_shard,
+        "bpe_merges": _q_bpe_merges,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,

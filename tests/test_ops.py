@@ -1074,3 +1074,100 @@ def test_lm_score_self_train_default(spark):
     assert rows[1]["avg_score_ppm"] == 750000.0
     assert rows[2]["avg_score_ppm"] == 750000.0
     assert all(r["n_oov"] == 0 for r in rows.values())
+
+
+def _ref_bpe(texts, n_merges, min_pair_count=2):
+    """Pure-Python reference BPE (Sennrich et al. 2016) on word
+    frequencies — the gold the distributed trainer must match."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            c = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # count desc, then lexicographic — the trainer's tie-break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((rank, a, b, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE == pure-Python reference, merge for merge
+    (incl. counts and tie-breaks), on the classic corpus and on a
+    real sf0.01 slice; a 1-letter-word corpus trains zero merges
+    without erroring (the descending-sequence ANSI edge)."""
+    from smartglass_ocr_spark.ops.bpe import bpe_train
+
+    texts = [
+        "low low low low low lower lower newest newest newest "
+        "newest newest newest widest widest widest"
+    ]
+    docs = spark.createDataFrame([(1, texts[0])], ["doc_id", "text"])
+    assert bpe_train(docs, n_merges=6) == _ref_bpe(texts, 6)
+
+    real = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).limit(50)
+    real_texts = [r["text"] for r in real.select("text").collect()]
+    assert bpe_train(real, n_merges=10) == _ref_bpe(real_texts, 10)
+
+    tiny = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    assert bpe_train(tiny, n_merges=5) == []
+
+
+def test_bpe_token_counts_matches_reference_segmentation(spark):
+    """bpe_token_counts applies the learned merges exactly as the
+    reference segmenter does, per document."""
+    from smartglass_ocr_spark.ops.bpe import bpe_token_counts, bpe_train
+
+    rows = [
+        (1, "low lower lowest low"),
+        (2, "newest widest low"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=4)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+
+    def seg_len(w):
+        syms = list(w)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for doc_id, text in rows:
+        want_sub = sum(seg_len(w) for w in text.split())
+        assert got[doc_id][1] == want_sub, doc_id
