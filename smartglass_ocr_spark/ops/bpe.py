@@ -54,12 +54,25 @@ def bpe_train(
     n_merges: int = 50,
     min_pair_count: int = 2,
     text_col: str = "text",
+    driver_vocab_threshold: int = 1_000_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns
     ``[(rank, left, right, pair_count), ...]`` in merge order (the
     artifact a tokenizer ships). Stops early when no pair reaches
     ``min_pair_count``. The returned list is driver-side by design:
     a merge table is ~10k-100k rows — model artifact, not data.
+
+    Hybrid execution, same result bit-for-bit (pytest-pinned): the
+    corpus-scale work is ONLY the word-frequency agg. When the
+    distinct-word table fits (``driver_vocab_threshold``; production
+    tokenizer trainers run single-machine from exactly this table —
+    even a web-scale vocabulary is ~10-100M rows), it is collected
+    once and the merge loop runs locally — zero per-round jobs.
+    Above the threshold the loop runs distributed over the cached
+    table (one codegen pair-agg + one Arrow merge pass per round,
+    lineage truncated per round); 2 jobs/round of pure scheduling
+    overhead is the measured price, which is why the driver path is
+    the default whenever it is legal.
     """
     spark = docs.sparkSession
     words = (
@@ -70,6 +83,15 @@ def bpe_train(
         .select(F.split("w", "").alias("syms"), "cnt")
         .persist()
     )
+    n_vocab = words.count()
+    if n_vocab <= driver_vocab_threshold:
+        rows = words.collect()
+        words.unpersist()
+        return _bpe_loop_local(
+            [(list(r["syms"]), int(r["cnt"])) for r in rows],
+            n_merges,
+            min_pair_count,
+        )
     merge_pd = _make_merge_udf()
     merges: list[tuple[int, str, str, int]] = []
     cur = words
@@ -113,6 +135,32 @@ def bpe_train(
         if cur is not words:
             cur.unpersist()
         words.unpersist()
+    return merges
+
+
+def _bpe_loop_local(
+    vocab: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over a collected word table — identical
+    semantics to the distributed loop (same count-desc/lexicographic
+    argmax, same greedy left-to-right merge)."""
+    from collections import Counter
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((rank, a, b, int(c)))
+        vocab = [(_merge_word(syms, a, b), cnt) for syms, cnt in vocab]
     return merges
 
 

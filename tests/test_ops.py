@@ -1125,16 +1125,25 @@ def test_bpe_train_matches_reference(spark):
         "newest newest newest widest widest widest"
     ]
     docs = spark.createDataFrame([(1, texts[0])], ["doc_id", "text"])
-    assert bpe_train(docs, n_merges=6) == _ref_bpe(texts, 6)
+    want = _ref_bpe(texts, 6)
+    # driver path (vocab fits) and distributed path (threshold forced
+    # to 0) are bit-identical to the reference and to each other
+    assert bpe_train(docs, n_merges=6) == want
+    assert bpe_train(docs, n_merges=6, driver_vocab_threshold=0) == want
 
     real = spark.read.parquet(
         "/root/testdata/sf0.01/documents.parquet"
     ).limit(50)
     real_texts = [r["text"] for r in real.select("text").collect()]
-    assert bpe_train(real, n_merges=10) == _ref_bpe(real_texts, 10)
+    want_real = _ref_bpe(real_texts, 10)
+    assert bpe_train(real, n_merges=10) == want_real
+    assert (
+        bpe_train(real, n_merges=10, driver_vocab_threshold=0) == want_real
+    )
 
     tiny = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
     assert bpe_train(tiny, n_merges=5) == []
+    assert bpe_train(tiny, n_merges=5, driver_vocab_threshold=0) == []
 
 
 def test_bpe_token_counts_matches_reference_segmentation(spark):
