@@ -426,6 +426,24 @@ def _q_bpe_merges(spark, sf_dir):
     )
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    # continuous-ingestion dedup: the standing corpus is src0-17 (its
+    # signature index computed in-query; production reads it from
+    # write_minhash_index), the increment is src18/19 — output is
+    # every candidate pair touching at least one new doc
+    from pyspark.sql import functions as F
+
+    from smartglass_ocr_spark.ops.dedup import (
+        minhash_band_signatures, minhash_lsh_candidates_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source").isin("src18", "src19"))
+    old = docs.filter(~F.col("source").isin("src18", "src19"))
+    store = minhash_band_signatures(old, bands=8, n=5)
+    return minhash_lsh_candidates_incremental(new, store, bands=8, n=5)
+
+
 def _q_lang_id_counts(spark, sf_dir):
     # confusion counts in ONE corpus scan: the label column rides the
     # lang_id projection instead of joining back to the source
@@ -755,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "shuffle_shard": _q_shuffle_shard,
         "bpe_merges": _q_bpe_merges,
+        "dedup_incremental": _q_dedup_incremental,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
         "mixture_sample": _q_mixture_sample,
@@ -1272,6 +1291,37 @@ def oracle_sql() -> dict[str, str]:
                    (count(bg.shingle) > 0)::int AS contaminated
             FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
             GROUP BY cg.doc_id
+        """,
+        # incremental dedup: same nibble-rotation signatures with an
+        # is_new flag per doc; a pair survives iff it shares a band
+        # signature, respects the combined-width cap (identical to
+        # the batch cap on store ∪ increment), and touches >= 1 new
+        # doc — old-old pairs were emitted when those docs were the
+        # increment
+        "dedup_incremental": """
+            WITH toks AS (
+                SELECT doc_id,
+                       (source IN ('src18', 'src19'))::int AS is_new,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, is_new,
+                       md5(array_to_string(w[i:i+4], ' ')) AS h
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 4) + 1)) AS t(i)
+            ), sigs AS (
+                SELECT doc_id, min(is_new) AS is_new, band,
+                       min(substr(h, CAST(4 * band + 1 AS INT), CAST(32 - 4 * band AS INT))
+                           || substr(h, 1, CAST(4 * band AS INT))) AS sig
+                FROM sh, UNNEST(range(0, 8)) AS t(band)
+                GROUP BY doc_id, band
+            ), bwidth AS (
+                SELECT band, sig, count(*) AS k FROM sigs GROUP BY band, sig
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sigs a JOIN sigs b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            JOIN bwidth w ON w.band = a.band AND w.sig = a.sig AND w.k <= 1000
+            WHERE a.is_new = 1 OR b.is_new = 1
         """,
         # epoch shuffle: shard = 32-bit md5 prefix mod 8 (the repo's
         # standard cross-engine bucket), pos = row_number over the

@@ -1053,3 +1053,106 @@ def passage_dedup(
         )
         .select("doc_id", "clean_text", "n_tokens", "n_removed")
     )
+
+
+def write_minhash_index(
+    docs: DataFrame, path: str, bands: int = 8, n: int = 5,
+    text_col: str = "text", mode: str = "error",
+) -> None:
+    """Materialize the corpus's MinHash band signatures as a parquet
+    signature index, partitioned by band — ~tens of bytes per doc per
+    band, an order below the text it summarizes. This is the state
+    continuous ingestion dedups against (see
+    :func:`minhash_lsh_candidates_incremental`)."""
+    minhash_band_signatures(docs, bands=bands, n=n, text_col=text_col)\
+        .write.partitionBy("band").mode(mode).parquet(path)
+
+
+def append_minhash_index(
+    new_docs: DataFrame, path: str, bands: int = 8, n: int = 5,
+    text_col: str = "text",
+) -> None:
+    """Append ONLY the increment's signatures into the index —
+    O(increment), the store is never read or rewritten."""
+    minhash_band_signatures(new_docs, bands=bands, n=n, text_col=text_col)\
+        .write.partitionBy("band").mode("append").parquet(path)
+
+
+def minhash_lsh_candidates_incremental(
+    new_docs: DataFrame,
+    store_sigs: DataFrame,
+    bands: int = 8,
+    n: int = 5,
+    text_col: str = "text",
+    max_bucket_docs: int | None = 1000,
+) -> DataFrame:
+    """Continuous-ingestion near-dup detection: candidate pairs that
+    involve AT LEAST ONE new document, against a standing signature
+    index — the increment never triggers an O(corpus) re-pairing.
+    ``store_sigs`` is the (doc_id, band, sig) frame from
+    :func:`write_minhash_index` (old-old pairs were emitted when
+    those docs were themselves the increment; doc_ids are assumed
+    disjoint between store and increment, the append-only invariant).
+
+    Shape (100 TB): the increment's signatures are computed as usual
+    (one increment scan); the store is restricted by a LEFT SEMI join
+    on (band, sig) against the increment's distinct signatures —
+    broadcast when the increment is small, so the store index
+    STREAMS with no shuffle and only matching rows (actual bucket
+    colliders) continue. The union then bucket-collects exactly like
+    the batch operator, and in-row pair generation keeps a pair only
+    if either side is new. ``max_bucket_docs`` measures the COMBINED
+    bucket width — identical semantics to running the batch operator
+    on store ∪ increment (pinned by pytest), so incremental results
+    compose: batch(old ∪ new) == batch(old) ∪ incremental(new).
+    """
+    new_sigs = minhash_band_signatures(
+        new_docs, bands=bands, n=n, text_col=text_col
+    ).withColumn("_new", F.lit(1))
+    matched = (
+        store_sigs.join(
+            F.broadcast(new_sigs.select("band", "sig").distinct()),
+            ["band", "sig"],
+            "leftsemi",
+        )
+        .select("doc_id", "band", "sig")
+        .withColumn("_new", F.lit(0))
+    )
+    all_sigs = new_sigs.select("doc_id", "band", "sig", "_new").unionByName(
+        matched
+    )
+    width_ok = (
+        (F.size("_ms") <= max_bucket_docs)
+        if max_bucket_docs is not None
+        else F.lit(True)
+    )
+    buckets = (
+        all_sigs.groupBy("band", "sig")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "_new"))).alias("_ms")
+        )
+        .filter((F.size("_ms") > 1) & width_ok)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ms"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ms"), i + 2, F.size("_ms")),
+                    lambda y: F.when(
+                        (x["_new"] == 1) | (y["_new"] == 1),
+                        F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                        ),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
+        .distinct()
+    )

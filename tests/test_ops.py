@@ -1180,3 +1180,76 @@ def test_bpe_token_counts_matches_reference_segmentation(spark):
     for doc_id, text in rows:
         want_sub = sum(seg_len(w) for w in text.split())
         assert got[doc_id][1] == want_sub, doc_id
+
+
+def test_incremental_minhash_composes_with_batch(spark):
+    """The continuous-ingestion invariant: batch(old ∪ new) ==
+    batch(old) ∪ incremental(new vs store(old)) — the increment pays
+    O(increment) and misses nothing the full re-run would find."""
+    from smartglass_ocr_spark.ops.dedup import (
+        minhash_band_signatures,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+
+    def pairs(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    full = pairs(minhash_lsh_candidates(docs, bands=8, n=5))
+    old_only = pairs(minhash_lsh_candidates(old, bands=8, n=5))
+    inc = pairs(
+        minhash_lsh_candidates_incremental(
+            new, minhash_band_signatures(old, bands=8, n=5), bands=8, n=5
+        )
+    )
+    assert old_only | inc == full
+    assert old_only & inc == set()  # every incremental pair touches a new doc
+    assert inc  # non-vacuous: the slice actually has cross/new pairs
+
+
+def test_incremental_minhash_file_backed_index(spark, tmp_path):
+    """write_minhash_index + append_minhash_index round-trip: dedup
+    against the on-disk store matches dedup against in-memory
+    signatures, and appending the increment leaves the store equal to
+    signatures(old ∪ new)."""
+    from smartglass_ocr_spark.ops.dedup import (
+        append_minhash_index,
+        minhash_band_signatures,
+        minhash_lsh_candidates_incremental,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    path = str(tmp_path / "mh_index")
+    write_minhash_index(old, path)
+
+    from_disk = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates_incremental(
+            new, spark.read.parquet(path)
+        ).collect()
+    }
+    in_mem = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates_incremental(
+            new, minhash_band_signatures(old)
+        ).collect()
+    }
+    assert from_disk == in_mem
+
+    append_minhash_index(new, path)
+    stored = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        (r["doc_id"], r["band"], r["sig"])
+        for r in minhash_band_signatures(docs).collect()
+    }
+    assert stored == want
