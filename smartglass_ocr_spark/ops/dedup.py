@@ -1156,3 +1156,54 @@ def minhash_lsh_candidates_incremental(
         .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
+
+
+def duplicate_components_incremental(
+    new_pairs: DataFrame,
+    labeling: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    **component_kwargs,
+) -> DataFrame:
+    """Fold an increment's candidate pairs into an EXISTING
+    (doc_id, component_id) labeling without re-clustering the corpus:
+    returns the updated full labeling, identical to running
+    :func:`duplicate_components` on old ∪ new pairs (pytest-pinned).
+
+    Why it is exact: a min-id labeling is a lossless component
+    summary — the star graph {doc — component_id} has the same
+    connected components as the original pair graph, and since every
+    component_id is itself the minimum member, the re-solved labels
+    stay min-reachable-id. So the increment only needs: (1) the
+    components TOUCHED by any new pair (two semi-joins: new-pair
+    nodes -> their labels -> all members of those labels — both
+    increment-bounded build sides, broadcast), (2) a component solve
+    over those members' star edges plus the new pairs — a subgraph
+    of O(increment + affected members), not O(corpus), and star
+    edges give it diameter <= 2 hops from the old components — and
+    (3) an anti-join stitch of untouched rows. At 10^12 docs the
+    untouched labeling never moves: it is read once for the
+    semi/anti joins, both pushed-down equi-joins.
+    """
+    nodes = (
+        new_pairs.select(F.col(a_col).alias("doc_id"))
+        .union(new_pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    touched = (
+        labeling.join(F.broadcast(nodes), "doc_id", "leftsemi")
+        .select("component_id")
+        .distinct()
+    )
+    affected = labeling.join(F.broadcast(touched), "component_id", "leftsemi")
+    star = affected.select(
+        F.col("doc_id").alias(a_col), F.col("component_id").alias(b_col)
+    )
+    sub = duplicate_components(
+        star.unionByName(new_pairs.select(a_col, b_col)),
+        a_col=a_col,
+        b_col=b_col,
+        **component_kwargs,
+    )
+    untouched = labeling.join(F.broadcast(touched), "component_id", "left_anti")
+    return untouched.unionByName(sub)

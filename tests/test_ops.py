@@ -1253,3 +1253,50 @@ def test_incremental_minhash_file_backed_index(spark, tmp_path):
         for r in minhash_band_signatures(docs).collect()
     }
     assert stored == want
+
+
+def test_incremental_components_equals_full_rebuild(spark):
+    """duplicate_components_incremental == duplicate_components(old ∪
+    new) on a random graph split, including the hard cases: a new
+    pair BRIDGING two existing components (their members must all
+    relabel to the joint min), brand-new docs forming their own
+    component, and untouched components keeping their labels."""
+    import random
+
+    from smartglass_ocr_spark.ops.dedup import (
+        duplicate_components,
+        duplicate_components_incremental,
+    )
+
+    rng = random.Random(7)
+    all_pairs = set()
+    # several clusters over ids 0..59 plus random edges
+    for base in (0, 10, 20, 30, 40, 50):
+        ids = list(range(base, base + 10))
+        for _ in range(12):
+            a, b = rng.sample(ids, 2)
+            all_pairs.add((min(a, b), max(a, b)))
+    # cross-cluster bridges and fresh docs 100/101 land in the increment
+    increment = {(5, 25), (41, 55), (100, 101), (3, 100)}
+    old = sorted(all_pairs)
+    new = sorted(increment)
+
+    def df(pairs):
+        return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    base_lab = duplicate_components(df(old))
+    inc = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components_incremental(df(new), base_lab).collect()
+    }
+    full = {
+        r["doc_id"]: r["component_id"]
+        for r in duplicate_components(df(old + new)).collect()
+    }
+    assert inc == full
+    # untouched components kept their exact labels
+    base = {r["doc_id"]: r["component_id"] for r in base_lab.collect()}
+    touched_comps = {base[d] for p in increment for d in p if d in base}
+    for d, c in base.items():
+        if c not in touched_comps:
+            assert inc[d] == c, d
