@@ -404,6 +404,24 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(docs, train=train)
 
 
+def _q_bm25_topk(spark, sf_dir):
+    # BM25 eval-set mining: every 50th doc donates its first 5 tokens
+    # as a query; rational Robertson IDF on the ppm grid (ln stays out
+    # of the operator — the pinned cross-engine libm hazard)
+    from pyspark.sql import functions as F
+
+    from smartglass_ocr_spark.ops.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5)
+        ).alias("query_text"),
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
 def _q_shuffle_shard(spark, sf_dir):
     # one epoch of the deterministic training shuffle: 8 shards,
     # md5(key:seed) order within each
@@ -771,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "passage_dedup": _q_passage_dedup,
         "lm_score": _q_lm_score,
+        "bm25_topk": _q_bm25_topk,
         "shuffle_shard": _q_shuffle_shard,
         "bpe_merges": _q_bpe_merges,
         "dedup_incremental": _q_dedup_incremental,
@@ -1395,6 +1414,65 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(sum(score_ppm) AS BIGINT) / count(score_ppm)
                    END AS avg_score_ppm
             FROM scored GROUP BY doc_id
+        """,
+        # BM25 twin: identical IEEE op chain (rational Robertson IDF,
+        # ppm floor before the integer sum); every fractional literal
+        # carries ::DOUBLE because DuckDB bare decimals are DECIMAL
+        # and would divide on the DECIMAL grid (the mixture_sample
+        # trap); sums/counts cast to BIGINT (HUGEINT otherwise)
+        "bm25_topk": """
+            WITH qd AS (
+                SELECT doc_id AS query_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents WHERE doc_id % 50 = 0
+            ), qt AS (
+                SELECT DISTINCT query_id, w[i] AS tok
+                FROM qd, UNNEST(range(1, least(len(w), 5) + 1)) AS t(i)
+            ), dl AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+                FROM documents
+            ), st AS (
+                SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS n_tok
+                FROM dl
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS tf
+                FROM toks WHERE tok IN (SELECT tok FROM qt)
+                GROUP BY 1, 2
+            ), dfq AS (
+                SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), terms AS (
+                SELECT t.doc_id, t.tok,
+                       CAST(floor(
+                           (((s.n_docs - f.df + 0.5::DOUBLE)
+                             / (f.df + 0.5::DOUBLE))
+                            * ((t.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                               / (t.tf + 1.2::DOUBLE
+                                  * (1.0::DOUBLE - 0.75::DOUBLE
+                                     + 0.75::DOUBLE
+                                       * (d.dl / (s.n_tok / s.n_docs))))))
+                           * 1000000.0::DOUBLE) AS BIGINT) AS score_ppm
+                FROM tf t
+                JOIN dfq f USING (tok)
+                JOIN dl d USING (doc_id)
+                CROSS JOIN st s
+            ), scored AS (
+                SELECT q.query_id, t.doc_id,
+                       CAST(sum(t.score_ppm) AS BIGINT) AS score_ppm
+                FROM terms t JOIN qt q USING (tok)
+                GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score_ppm, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score_ppm DESC, doc_id
+                ) AS rank FROM scored
+            ) WHERE rank <= 5
         """,
         # passage dedup: hot 4-grams (df > 2) cover token positions
         # via the same n-1-PRECEDING range-frame running sum the
