@@ -528,6 +528,24 @@ def _q_embedding_near_dup(spark, sf_dir):
     return cosine_self_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3, bits=4)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup composition: fixed md5 quantizer (8 clusters) ->
+    # within-cluster cosine pairs on the shared 6-dp grid ->
+    # components -> keep the most-peripheral member per component
+    # (the paper's diversity-preserving policy). Threshold 0.3 per
+    # the embedding_near_dup note (synthetic vectors near-orthogonal)
+    from smartglass_ocr_spark.ops.similarity import (
+        fixed_random_centroids, semantic_dedup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = fixed_random_centroids(8, dim)
+    return semantic_dedup(
+        emb, cents, threshold=0.3, keep="peripheral", round_dp=6
+    )
+
+
 def _q_pipeline_extract(spark, sf_dir):
     from smartglass_ocr_spark.corpus import span_rows_from_flat
     from smartglass_ocr_spark.pipeline import extracted_span_rows
@@ -809,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         "pipeline_extract": _q_pipeline_extract,
         "pipeline_doc_meta": _q_pipeline_doc_meta,
         "pipeline_skeleton": _q_pipeline_skeleton,
@@ -2013,6 +2032,66 @@ def oracle_sql() -> dict[str, str]:
                   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             )
             SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.3
+        """,
+        # SemDeDup twin: the knn_ivf md5-quantizer CTE (round-6
+        # sims before the argmax AND on the pairs) -> recursive
+        # closure for components -> peripheral keep (lowest centroid
+        # sim per component, vec_id tie-break)
+        "semantic_dedup": """
+            WITH RECURSIVE dims AS (
+                SELECT len(embedding) AS nd FROM embeddings LIMIT 1
+            ), comps0 AS (
+                SELECT cid, d,
+                       ('0x' || substr(md5('ivf' || cid || ':' || d), 1, 8))::BIGINT
+                           / 2147483648.0 - 1.0 AS comp
+                FROM (SELECT unnest(generate_series(0, 7)) AS cid),
+                     (SELECT unnest(generate_series(0, (SELECT nd - 1 FROM dims))) AS d)
+            ),
+            cents AS (SELECT cid, list(comp ORDER BY d) AS c FROM comps0 GROUP BY cid),
+            sims AS (
+                SELECT vec_id, embedding, cid,
+                       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), c), 6) AS sim
+                FROM embeddings, cents
+            ),
+            assigned AS (
+                SELECT vec_id, embedding, cid, sim AS csim FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY sim DESC, cid) AS rn
+                    FROM sims
+                ) WHERE rn = 1
+            ),
+            pairs AS (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM assigned a JOIN assigned b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+            ),
+            edges AS (
+                SELECT vec_a AS src, vec_b AS dst FROM pairs
+                UNION
+                SELECT vec_b AS src, vec_a AS dst FROM pairs
+            ), reach(node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comp AS (
+                SELECT node AS vec_id, min(label) AS component_id
+                FROM reach GROUP BY node
+            ), members AS (
+                SELECT a.vec_id, a.csim, c.component_id
+                FROM assigned a LEFT JOIN comp c USING (vec_id)
+            ), ranked AS (
+                SELECT vec_id, component_id, csim,
+                       row_number() OVER (PARTITION BY component_id
+                                          ORDER BY csim ASC, vec_id) AS rk
+                FROM members WHERE component_id IS NOT NULL
+            )
+            SELECT vec_id, vec_id AS component_id, csim
+            FROM members WHERE component_id IS NULL
+            UNION ALL
+            SELECT vec_id, component_id, csim FROM ranked WHERE rk = 1
         """,
         # ops/sampling.py twins: md5-bucket in [0,10000) from the same
         # 32-bit-prefix construction as the LSH planes

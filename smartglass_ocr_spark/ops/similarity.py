@@ -585,3 +585,143 @@ def cosine_self_near_dup(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def _assign_sim_udf(centroids: list[list[float]], round_dp: int | None = None):
+    """Like :func:`_assign_udf` but returns ``struct(cid, csim)`` —
+    the assigned centroid AND its (optionally rounded) cosine, so a
+    keep-policy downstream can rank members by centroid proximity
+    without a second Arrow pass. Same tie rule (first maximum =
+    lowest cid) and the same round-before-argmax oracle grid."""
+    from pyspark.sql.types import StructField, StructType
+
+    c = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+    cn[cn == 0.0] = 1.0
+    cu = c / cn[:, None]
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("cid", IntegerType()),
+                StructField("csim", DoubleType()),
+            ]
+        )
+    )
+    def assign(v: pd.Series) -> pd.DataFrame:
+        m = _to_matrix(v)
+        if m.shape[0] == 0:
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series([], dtype="int32"),
+                    "csim": pd.Series([], dtype="float64"),
+                }
+            )
+        sims = (m / _row_norms(m)[:, None]) @ cu.T  # (batch, k)
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
+        idx = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cid": idx.astype("int32"),
+                "csim": sims[np.arange(len(idx)), idx],
+            }
+        )
+
+    # pure; marker suppresses duplicate evaluation (see _pair_cosine)
+    return assign.asNondeterministic()
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    keep: str = "peripheral",
+    round_dp: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding column — cluster with a
+    coarse quantizer, find within-cluster pairs above a cosine
+    threshold, connect them into duplicate components, keep ONE
+    member per component. Returns the kept rows as
+    ``(vec_id, component_id, csim)`` where ``component_id`` is the
+    minimum reachable vec_id (own id for singletons) and ``csim`` the
+    cosine to the assigned centroid.
+
+    ``keep`` policies:
+
+    - ``"peripheral"`` (default, the paper's choice): keep the member
+      with the LOWEST centroid similarity — duplicates cluster around
+      prototypes, and keeping the outlier preserves diversity.
+    - ``"central"`` — highest centroid similarity (prototype keeper).
+    - ``"min_id"`` — smallest vec_id (the label itself; cheapest).
+
+    Ties break to the smaller vec_id everywhere.
+
+    Shape (100 TB): one narrow Arrow pass assigns ``(cid, csim)`` per
+    vector (centroid matrix is a closure constant — no join blowup);
+    the frame is persisted because the pair self-join's two branches
+    would otherwise each re-run the UDF (Catalyst never reuses branch
+    subtrees — at index scale, pass a materialized assignment from
+    :func:`write_ivf_index` instead). The quadratic is bounded to
+    within-cluster pairs (:func:`cosine_self_near_dup` on the cid
+    key); components converge in O(diameter) rounds over pair rows
+    only; the keep window partitions by component — single duplicate
+    clusters, never the corpus. With ``round_dp`` set, assignment and
+    pair similarities live on a shared decimal grid, so the full
+    pipeline has a DuckDB twin (the ``knn_ivf`` oracle argument).
+    """
+    if keep not in ("peripheral", "central", "min_id"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    from .dedup import duplicate_components
+
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            _assign_sim_udf(centroids, round_dp)(F.col(vec_col)).alias("_a"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.col("_a.cid").alias("cid"),
+            F.col("_a.csim").alias("csim"),
+        )
+        .persist()
+    )
+    pairs = cosine_self_near_dup(
+        embeddings,
+        threshold=threshold,
+        bucketed=assigned.select("vec_id", "v", F.col("cid").alias("bucket")),
+    )
+    comps = duplicate_components(
+        pairs, a_col="vec_a", b_col="vec_b", max_iters=max_iters
+    ).withColumnRenamed("doc_id", "vec_id")
+    members = assigned.select("vec_id", "csim").join(comps, "vec_id", "left")
+    if keep == "min_id":
+        kept = members.filter(
+            F.col("component_id").isNull()
+            | (F.col("vec_id") == F.col("component_id"))
+        )
+    else:
+        order = (
+            [F.col("csim").asc(), F.col("vec_id").asc()]
+            if keep == "peripheral"
+            else [F.col("csim").desc(), F.col("vec_id").asc()]
+        )
+        w = Window.partitionBy("component_id").orderBy(*order)
+        dups = (
+            members.filter(F.col("component_id").isNotNull())
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        kept = members.filter(F.col("component_id").isNull()).unionByName(dups)
+    return kept.select(
+        "vec_id",
+        F.coalesce("component_id", "vec_id").alias("component_id"),
+        "csim",
+    )
