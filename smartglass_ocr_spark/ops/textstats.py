@@ -578,3 +578,107 @@ def lm_score(
             ).alias("avg_score_ppm"),
         )
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    min_stop_hits: int = 2,
+    langs: tuple[str, ...] = ("en",),
+    top_bigram_thresh: float = 0.2,
+    dup_trigram_thresh: float = 0.3,
+    max_pii: int | None = None,
+) -> DataFrame:
+    """End-to-end document quality verdict — the composition a
+    pretraining pipeline actually runs (the Gopher rules, Rae et al.
+    2021 §A1.1, plus C4's stopword/language gates): every per-doc
+    signal this module computes, folded into one keep/drop verdict
+    with a ``reasons`` audit column naming each failed rule in fixed
+    rule order (comma-joined; empty string = keep). The single-signal
+    operators (:func:`quality_scores`, :func:`lang_id`,
+    :func:`repetition_signals`, :func:`pii_scrub`) stay the
+    fine-grained API; this is the ``dedup_keep_list`` analogue for
+    the quality family.
+
+    Rules (in ``reasons`` order): ``too_short``/``too_long`` (token
+    count bounds), ``word_length`` (mean word length outside
+    [min, max]), ``punctuation`` (punct ratio above max),
+    ``stopwords`` (panel hits below min), ``language`` (predicted
+    language not in ``langs``; pass ``()`` to disable),
+    ``rep_bigram``/``rep_trigram`` (Gopher repetition fractions
+    above threshold), ``pii`` (total PII matches above ``max_pii``;
+    ``None`` counts but never drops).
+
+    Shape (100 TB): every row-local signal (token/char counts,
+    ratios, stopword+language panels, PII counts) is computed in ONE
+    projection inside the scan stage — composing by joining the four
+    single-signal operators would be four corpus scans (Catalyst
+    never reuses branch subtrees, the repo's pinned trap). The only
+    second scan + exchange belongs to :func:`repetition_signals`
+    (inherently aggregating); its doc_id partitioning feeds the
+    final equi-join. Ratio comparisons happen on the same rounded
+    grids the single ops publish, so the verdict is oracle-exact.
+    """
+    text = F.col(text_col)
+    toks = F.split(F.trim(text), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    stop_hits = _hits(text, _STOP_PANEL)
+    mean_word_len = F.round(
+        (F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens).cast("double"), 4
+    )
+    punct_ratio = F.round((punct / n_chars).cast("double"), 6)
+    en = _hits(text, _EN_PANEL)
+    ind = _hits(text, _ID_PANEL)
+    predicted = (
+        F.when((ind >= 2) & (ind > en), F.lit("id"))
+        .when(en >= 2, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    n_pii = None
+    for name, pat, _ in _PII_PATTERNS:
+        c = F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        n_pii = c if n_pii is None else n_pii + c
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_hits.alias("stop_hits"),
+        predicted.alias("predicted_lang"),
+        n_pii.alias("n_pii"),
+    )
+    rep = repetition_signals(docs, text_col).select(
+        "doc_id", "top_bigram_frac", "dup_trigram_frac"
+    )
+    j = base.join(rep, "doc_id")
+    rules: list[tuple[str, "F.Column"]] = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        (
+            "word_length",
+            (F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len),
+        ),
+        ("punctuation", F.col("punct_ratio") > max_punct_ratio),
+        ("stopwords", F.col("stop_hits") < min_stop_hits),
+    ]
+    if langs:
+        rules.append(("language", ~F.col("predicted_lang").isin(*langs)))
+    rules.append(("rep_bigram", F.col("top_bigram_frac") > top_bigram_thresh))
+    rules.append(("rep_trigram", F.col("dup_trigram_frac") > dup_trigram_thresh))
+    if max_pii is not None:
+        rules.append(("pii", F.col("n_pii") > max_pii))
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return j.withColumn("reasons", reasons).withColumn(
+        "verdict",
+        F.when(F.col("reasons") == "", F.lit("keep")).otherwise(F.lit("drop")),
+    )
