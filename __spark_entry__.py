@@ -404,6 +404,15 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(docs, train=train)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # RAG-style sliding-window chunking: 32-token windows, 8 overlap
+    from smartglass_ocr_spark.ops.sampling import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def _q_bm25_topk(spark, sf_dir):
     # BM25 eval-set mining: every 50th doc donates its first 5 tokens
     # as a query; rational Robertson IDF on the ppm grid (ln stays out
@@ -818,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "passage_dedup": _q_passage_dedup,
         "lm_score": _q_lm_score,
         "bm25_topk": _q_bm25_topk,
+        "chunk_documents": _q_chunk_documents,
         "shuffle_shard": _q_shuffle_shard,
         "bpe_merges": _q_bpe_merges,
         "dedup_incremental": _q_dedup_incremental,
@@ -1444,6 +1454,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(sum(score_ppm) AS BIGINT) / count(score_ppm)
                    END AS avg_score_ppm
             FROM scored GROUP BY doc_id
+        """,
+        # sliding-window chunking twin: stride 24 (= 32 - 8), chunk
+        # count 1 + ceil(max(0, n - 32) / 24) via integer-exact floor;
+        # DuckDB slices are end-INCLUSIVE (w[s : s+31] = 32 tokens)
+        "chunk_documents": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ), s AS (
+                SELECT doc_id, w, len(w) AS n,
+                       1 + CAST(floor(
+                           (greatest(0, len(w) - 32) + 23) / 24
+                       ) AS INT) AS n_chunks
+                FROM d
+            )
+            SELECT doc_id, i AS chunk_id,
+                   array_to_string(w[1 + i * 24 : 1 + i * 24 + 31], ' ')
+                       AS chunk_text,
+                   least(32, n - (1 + i * 24) + 1) AS n_chunk_tokens
+            FROM s, UNNEST(range(0, n_chunks)) AS t(i)
         """,
         # BM25 twin: identical IEEE op chain (rational Robertson IDF,
         # ppm floor before the integer sum); every fractional literal

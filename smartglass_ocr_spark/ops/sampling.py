@@ -320,3 +320,60 @@ def write_shuffle_shards(
         .mode(mode)
         .parquet(path)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the pre-embedding step of a
+    RAG / retrieval pipeline and the long-doc splitter of an
+    annotation pipeline: one row per chunk of ``chunk_tokens``
+    whitespace tokens, consecutive chunks overlapping by ``overlap``.
+
+    Chunk count per doc is ``1 + ceil(max(0, n - chunk) / stride)``
+    (``stride = chunk - overlap``) — the last chunk always reaches
+    the end of the document and every non-final chunk contributes
+    ``stride`` new tokens, so no chunk is ever fully contained in its
+    predecessor (the degenerate trailing window a naive
+    start <= n loop emits). The ceil is integer arithmetic
+    (``floor((a + stride - 1) / stride)``), exact in any engine.
+
+    Returns ``(doc_id, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    Shape (100 TB): one scan, one codegen explode, ZERO shuffle —
+    chunk rows inherit the scan's partitioning, which is exactly what
+    the downstream embedding UDF wants (Arrow batches of chunk
+    text, no exchange in between).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(w)
+    n_chunks = F.lit(1) + F.floor(
+        (F.greatest(F.lit(0), n - F.lit(chunk_tokens)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("int")
+    start = F.lit(1) + F.col("chunk_id") * F.lit(stride)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            w.alias("_w"),
+            n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("_w"), start, F.lit(chunk_tokens))
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - start + F.lit(1)).alias(
+                "n_chunk_tokens"
+            ),
+        )
+    )

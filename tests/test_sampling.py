@@ -285,3 +285,69 @@ def test_write_shuffle_shards_one_sorted_file_per_shard(spark, docs, tmp_path):
         (f,) = glob.glob(f"{path}/shard={k}/*.parquet")
         pos = pq.read_table(f, columns=["pos"]).column("pos").to_pylist()
         assert pos == sorted(pos), k
+
+
+class TestChunkDocuments:
+    DOCS = [(1, "a b c d e"), (2, "a b c d"), (3, "a b c"), (4, "a")]
+
+    def _run(self, spark, **kw):
+        from smartglass_ocr_spark.ops.sampling import chunk_documents
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = chunk_documents(docs, chunk_tokens=3, overlap=1, **kw)
+        return sorted(tuple(r) for r in out.collect())
+
+    def test_hand_chunks(self, spark):
+        assert self._run(spark) == [
+            (1, 0, "a b c", 3),
+            (1, 1, "c d e", 3),
+            (2, 0, "a b c", 3),
+            (2, 1, "c d", 2),
+            (3, 0, "a b c", 3),
+            (4, 0, "a", 1),
+        ]
+
+    def test_no_degenerate_trailing_chunk(self, spark):
+        # n=3 == chunk: a start<=n loop would emit a second chunk
+        # ('c') fully contained in the first; the ceil form does not
+        rows = [r for r in self._run(spark) if r[0] == 3]
+        assert len(rows) == 1
+
+    def test_last_chunk_reaches_end_and_strides_cover(self, spark):
+        from smartglass_ocr_spark.ops.sampling import chunk_documents
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+        joined = (
+            out.groupBy("doc_id")
+            .agg(
+                F.max(F.col("chunk_id") * 24 + F.col("n_chunk_tokens")).alias("covered"),
+                F.count("*").alias("n_chunks"),
+            )
+            .join(
+                docs.select(
+                    "doc_id",
+                    F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+                ),
+                "doc_id",
+            )
+        )
+        bad = joined.filter(F.col("covered") != F.col("n")).count()
+        assert bad == 0
+
+    def test_overlap_validation(self, spark):
+        from smartglass_ocr_spark.ops.sampling import chunk_documents
+
+        docs = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+    def test_plan_zero_shuffle(self, spark):
+        from smartglass_ocr_spark.ops.sampling import chunk_documents
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert plan.count("FileScan") == 1, plan
