@@ -506,6 +506,18 @@ def _q_quality_filter(spark, sf_dir):
     return quality_filter(_t(spark, sf_dir, "documents"), langs=("en", "id"))
 
 
+def _q_quality_report(spark, sf_dir):
+    # per-source curation dashboard: verdict counts, token volume,
+    # and the fixed-vocabulary drop-reason histogram
+    from smartglass_ocr_spark.ops.textstats import quality_report
+
+    return quality_report(
+        _t(spark, sf_dir, "documents"),
+        group_cols=("source",),
+        langs=("en", "id"),
+    )
+
+
 def _q_knn_cosine(spark, sf_dir):
     from smartglass_ocr_spark.ops.similarity import cosine_topk
 
@@ -844,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality_scores,
         "quality_filter": _q_quality_filter,
+        "quality_report": _q_quality_report,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -888,6 +901,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # SimHash fingerprints (shared by the fingerprint query and the
 # banded Hamming-pair query)
+_QUALITY_CTE = r"""
+            WITH f AS (
+                SELECT doc_id, source,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       length(text) AS n_chars,
+                       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
+                       length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+                       (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' in ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' a ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END) AS stop_hits,
+                       (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' for ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' this ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' have ') THEN 1 ELSE 0 END) AS en,
+                       (CASE WHEN contains(' ' || lower(text) || ' ', ' yang ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dan ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dengan ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' untuk ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dari ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' adalah ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' ini ') THEN 1 ELSE 0 END
+                      + CASE WHEN contains(' ' || lower(text) || ' ', ' pada ') THEN 1 ELSE 0 END) AS ind,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text,
+                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     + len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS n_pii
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, source, n_tokens,
+                       round(CAST(nonspace AS DOUBLE) / n_tokens, 4) AS mean_word_len,
+                       round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+                       stop_hits,
+                       CASE WHEN ind >= 2 AND ind > en THEN 'id'
+                            WHEN en >= 2 THEN 'en'
+                            ELSE 'other' END AS predicted_lang,
+                       n_pii
+                FROM f
+            ), toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+            ), bc AS (
+                SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, count(*) AS c
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 1) + 1)) AS t(i)
+                GROUP BY doc_id, g
+            ), b AS (
+                SELECT doc_id, max(c) / sum(c) AS top_bigram_frac
+                FROM bc GROUP BY doc_id
+            ), tc AS (
+                SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g, count(*) AS c
+                FROM toks, UNNEST(range(1, greatest(1, len(w) - 2) + 1)) AS t(i)
+                GROUP BY doc_id, g
+            ), t3 AS (
+                SELECT doc_id,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dup_trigram_frac
+                FROM tc GROUP BY doc_id
+            ), j AS (
+                SELECT * FROM feat
+                JOIN (SELECT doc_id, top_bigram_frac, dup_trigram_frac
+                      FROM b JOIN t3 USING (doc_id)) USING (doc_id)
+            ), r AS (
+                SELECT *, concat_ws(',',
+                    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+                    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+                    CASE WHEN mean_word_len < 3.0::DOUBLE
+                           OR mean_word_len > 12.0::DOUBLE THEN 'word_length' END,
+                    CASE WHEN punct_ratio > 0.2::DOUBLE THEN 'punctuation' END,
+                    CASE WHEN stop_hits < 2 THEN 'stopwords' END,
+                    CASE WHEN predicted_lang NOT IN ('en', 'id') THEN 'language' END,
+                    CASE WHEN top_bigram_frac > 0.2::DOUBLE THEN 'rep_bigram' END,
+                    CASE WHEN dup_trigram_frac > 0.3::DOUBLE THEN 'rep_trigram' END
+                ) AS reasons FROM j
+            )
+"""
+
 _SIMHASH_CTE = """
     toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
@@ -1785,92 +1881,32 @@ def oracle_sql() -> dict[str, str]:
         # in one row-local CTE, repetition fractions from the
         # repetition_signals twin, rules concat_ws'd in fixed order
         # (concat_ws skips NULL CASE arms in both engines)
-        "quality_filter": r"""
-            WITH f AS (
-                SELECT doc_id,
-                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                       length(text) AS n_chars,
-                       length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS punct,
-                       length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
-                       (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' in ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' a ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END) AS stop_hits,
-                       (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' is ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' with ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' that ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' for ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' this ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' have ') THEN 1 ELSE 0 END) AS en,
-                       (CASE WHEN contains(' ' || lower(text) || ' ', ' yang ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dan ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dengan ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' untuk ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' dari ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' adalah ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' ini ') THEN 1 ELSE 0 END
-                      + CASE WHEN contains(' ' || lower(text) || ' ', ' pada ') THEN 1 ELSE 0 END) AS ind,
-                       len(regexp_extract_all(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                     + len(regexp_extract_all(text,
-                           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-                     + len(regexp_extract_all(text, '\+?\d[\d\- ]{7,}\d')) AS n_pii
-                FROM documents
-            ), feat AS (
-                SELECT doc_id, n_tokens,
-                       round(CAST(nonspace AS DOUBLE) / n_tokens, 4) AS mean_word_len,
-                       round(CAST(punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-                       stop_hits,
-                       CASE WHEN ind >= 2 AND ind > en THEN 'id'
-                            WHEN en >= 2 THEN 'en'
-                            ELSE 'other' END AS predicted_lang,
-                       n_pii
-                FROM f
-            ), toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-            ), bc AS (
-                SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, count(*) AS c
-                FROM toks, UNNEST(range(1, greatest(1, len(w) - 1) + 1)) AS t(i)
-                GROUP BY doc_id, g
-            ), b AS (
-                SELECT doc_id, max(c) / sum(c) AS top_bigram_frac
-                FROM bc GROUP BY doc_id
-            ), tc AS (
-                SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g, count(*) AS c
-                FROM toks, UNNEST(range(1, greatest(1, len(w) - 2) + 1)) AS t(i)
-                GROUP BY doc_id, g
-            ), t3 AS (
-                SELECT doc_id,
-                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c) AS dup_trigram_frac
-                FROM tc GROUP BY doc_id
-            ), j AS (
-                SELECT * FROM feat
-                JOIN (SELECT doc_id, top_bigram_frac, dup_trigram_frac
-                      FROM b JOIN t3 USING (doc_id)) USING (doc_id)
-            ), r AS (
-                SELECT *, concat_ws(',',
-                    CASE WHEN n_tokens < 10 THEN 'too_short' END,
-                    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
-                    CASE WHEN mean_word_len < 3.0::DOUBLE
-                           OR mean_word_len > 12.0::DOUBLE THEN 'word_length' END,
-                    CASE WHEN punct_ratio > 0.2::DOUBLE THEN 'punctuation' END,
-                    CASE WHEN stop_hits < 2 THEN 'stopwords' END,
-                    CASE WHEN predicted_lang NOT IN ('en', 'id') THEN 'language' END,
-                    CASE WHEN top_bigram_frac > 0.2::DOUBLE THEN 'rep_bigram' END,
-                    CASE WHEN dup_trigram_frac > 0.3::DOUBLE THEN 'rep_trigram' END
-                ) AS reasons FROM j
-            )
+        "quality_filter": _QUALITY_CTE + """
             SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stop_hits,
                    predicted_lang, n_pii, top_bigram_frac, dup_trigram_frac,
                    reasons,
                    CASE WHEN reasons = '' THEN 'keep' ELSE 'drop' END AS verdict
             FROM r
+        """,
+        # dashboard aggregate over the same CTE: exact reason-list
+        # membership (split, not substring), HUGEINT sums cast,
+        # avg_tokens a single BIGINT/BIGINT IEEE division
+        "quality_report": _QUALITY_CTE + """
+            SELECT source,
+                   CASE WHEN reasons = '' THEN 'keep' ELSE 'drop' END AS verdict,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) / count(*) AS avg_tokens,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_short') THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'too_long') THEN 1 ELSE 0 END) AS BIGINT) AS n_too_long,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'word_length') THEN 1 ELSE 0 END) AS BIGINT) AS n_word_length,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'punctuation') THEN 1 ELSE 0 END) AS BIGINT) AS n_punctuation,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'stopwords') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'language') THEN 1 ELSE 0 END) AS BIGINT) AS n_language,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'rep_bigram') THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_bigram,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'rep_trigram') THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_trigram,
+                   CAST(sum(CASE WHEN list_contains(string_split(reasons, ','), 'pii') THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+            FROM r GROUP BY source, verdict
         """,
         # DuckDB twin of corpus.span_rows_from_flat(kind_hash='md5') in
         # FULL (kinds, offsets, media_refs AND chunked span text) +

@@ -61,3 +61,43 @@ def test_plan_single_rowlocal_projection(spark):
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 2, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+SRC_DOCS = [
+    (1, CLEAN, "a"), (2, TINY, "b"), (3, REPETITIVE, "b"),
+    (4, PUNCTY, "b"), (5, PII, "a"),
+]
+
+
+def test_quality_report_hand_corpus(spark):
+    from smartglass_ocr_spark.ops.textstats import quality_report
+
+    docs = spark.createDataFrame(SRC_DOCS, "doc_id long, text string, source string")
+    rows = {
+        (r["source"], r["verdict"]): r
+    for r in quality_report(docs).collect()}
+    assert set(rows) == {("a", "keep"), ("b", "drop")}
+    a = rows[("a", "keep")]
+    assert a["n_docs"] == 2
+    assert a["sum_tokens"] == len(CLEAN.split()) + len(PII.split())
+    assert a["avg_tokens"] == a["sum_tokens"] / 2
+    assert all(a[f"n_{n}"] == 0 for n in (
+        "too_short", "too_long", "word_length", "punctuation",
+        "stopwords", "language", "rep_bigram", "rep_trigram", "pii"))
+    b = rows[("b", "drop")]
+    assert b["n_docs"] == 3
+    assert b["n_too_short"] == 1 and b["n_word_length"] == 1
+    assert b["n_stopwords"] == 2 and b["n_language"] == 2
+    assert b["n_rep_bigram"] == 2 and b["n_rep_trigram"] == 1
+    assert b["n_punctuation"] == 1 and b["n_pii"] == 0
+
+
+def test_quality_report_plan_no_extra_scan(spark):
+    """passthrough carries the group column through the row-local
+    projection — still 2 FileScans (base + repetition), no join back
+    to the corpus for 'source'."""
+    from smartglass_ocr_spark.ops.textstats import quality_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = quality_report(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan
