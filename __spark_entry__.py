@@ -431,6 +431,18 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, queries, k=5)
 
 
+def _q_lm_contrast(spark, sf_dir):
+    # DSIR importance weights: target = the same two-source slice the
+    # lm_score contract trains on, background = the full corpus
+    from pyspark.sql import functions as F
+
+    from smartglass_ocr_spark.ops.textstats import lm_contrast
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    return lm_contrast(docs, target)
+
+
 def _q_shuffle_shard(spark, sf_dir):
     # one epoch of the deterministic training shuffle: 8 shards,
     # md5(key:seed) order within each
@@ -840,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "bm25_topk": _q_bm25_topk,
         "chunk_documents": _q_chunk_documents,
+        "lm_contrast": _q_lm_contrast,
         "shuffle_shard": _q_shuffle_shard,
         "bpe_merges": _q_bpe_merges,
         "dedup_incremental": _q_dedup_incremental,
@@ -901,6 +914,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # SimHash fingerprints (shared by the fingerprint query and the
 # banded Hamming-pair query)
+def _lm_side_cte(sfx: str, train_where: str) -> str:
+    """One stupid-backoff train-side CTE set (the lm_score oracle's
+    tr/pr/P/uni/tot/big chain) with suffixed names, so lm_contrast's
+    twin builds both models without duplicating the SQL by hand."""
+    return f"""
+            tr{sfx} AS (
+                SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents {train_where}
+            ), pr{sfx} AS (
+                SELECT w[i] AS tok_a, w[i+1] AS tok_b
+                FROM tr{sfx}, UNNEST(range(0, len(w) + 1)) AS t(i)
+            ), P{sfx} AS (
+                SELECT tok_a, tok_b, count(*) AS c FROM pr{sfx} GROUP BY 1, 2
+            ), uni{sfx} AS (
+                SELECT tok_a, CAST(sum(c) AS BIGINT) AS c1
+                FROM P{sfx} WHERE tok_a IS NOT NULL GROUP BY 1
+            ), tot{sfx} AS (
+                SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM uni{sfx}
+            ), big{sfx} AS (
+                SELECT tok_a AS w1, tok_b AS w2, c AS c_ab
+                FROM P{sfx} WHERE tok_a IS NOT NULL AND tok_b IS NOT NULL
+            )"""
+
+
+def _lm_score_case(sfx: str) -> str:
+    return f"""
+                       CASE WHEN r.w2 IS NOT NULL THEN
+                           CAST(floor(
+                               CASE WHEN b{sfx}.c_ab IS NOT NULL
+                                    THEN b{sfx}.c_ab / u1{sfx}.c1
+                                    ELSE (0.4::DOUBLE * coalesce(u2{sfx}.c1, 0))
+                                         / t{sfx}.n_tok
+                               END * 1000000.0) AS BIGINT)
+                       END"""
+
+
 _QUALITY_CTE = r"""
             WITH f AS (
                 SELECT doc_id, source,
@@ -1549,6 +1598,55 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN count(score_ppm) > 0
                         THEN CAST(sum(score_ppm) AS BIGINT) / count(score_ppm)
                    END AS avg_score_ppm
+            FROM scored GROUP BY doc_id
+        """,
+        # DSIR contrast twin: two suffixed train-side chains from
+        # _lm_side_cte, ONE shared corpus trows, per-side ppm CASEs
+        # identical to lm_score's, weight = the same two divisions
+        # subtracted (each a single BIGINT/BIGINT IEEE op)
+        "lm_contrast": "WITH "
+        + _lm_side_cte("_t", "WHERE source IN ('src0', 'src1')")
+        + ","
+        + _lm_side_cte("_b", "")
+        + """
+            , dr AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ), trows AS (
+                SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+                FROM dr, UNNEST(range(1, len(w) + 1)) AS t(i)
+            ), scored AS (
+                SELECT r.doc_id,
+                       """
+        + _lm_score_case("_t")
+        + """ AS s_t,
+                       """
+        + _lm_score_case("_b")
+        + """ AS s_b
+                FROM trows r
+                LEFT JOIN uni_t u1_t ON r.w1 = u1_t.tok_a
+                LEFT JOIN uni_t u2_t ON r.w2 = u2_t.tok_a
+                LEFT JOIN big_t b_t ON r.w1 = b_t.w1 AND r.w2 = b_t.w2
+                LEFT JOIN uni_b u1_b ON r.w1 = u1_b.tok_a
+                LEFT JOIN uni_b u2_b ON r.w2 = u2_b.tok_a
+                LEFT JOIN big_b b_b ON r.w1 = b_b.w1 AND r.w2 = b_b.w2
+                CROSS JOIN tot_t t_t
+                CROSS JOIN tot_b t_b
+            )
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   CASE WHEN count(s_t) > 0
+                        THEN CAST(sum(s_t) AS BIGINT) / count(s_t)
+                   END AS target_avg_ppm,
+                   CASE WHEN count(s_b) > 0
+                        THEN CAST(sum(s_b) AS BIGINT) / count(s_b)
+                   END AS background_avg_ppm,
+                   CASE WHEN count(s_t) > 0
+                        THEN CAST(sum(s_t) AS BIGINT) / count(s_t)
+                   END
+                 - CASE WHEN count(s_b) > 0
+                        THEN CAST(sum(s_b) AS BIGINT) / count(s_b)
+                   END AS weight
             FROM scored GROUP BY doc_id
         """,
         # sliding-window chunking twin: stride 24 (= 32 - 8), chunk

@@ -733,3 +733,135 @@ def quality_report(
             *reason_counts,
         )
     )
+
+
+def lm_contrast(
+    docs: DataFrame,
+    target: DataFrame,
+    background: DataFrame | None = None,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023,
+    arXiv:2302.03169): per document, the contrast between a
+    target-domain LM score and a background LM score —
+    ``weight = target_avg_ppm - background_avg_ppm`` — the data-
+    selection signal for sampling a pretraining corpus toward a
+    target domain (positive = more target-like than the background).
+    Both sides are the :func:`lm_score` bigram stupid-backoff model
+    on the integer ppm grid; the weight is ONE IEEE subtraction of
+    two exact int/int divisions, so the whole operator stays
+    oracle-exact with no log anywhere (libm hazard; the pre-log
+    contrast is monotone in the true likelihood ratio per bigram
+    count, which is all ranking-based selection needs).
+
+    Deliberately FUSED rather than composed from two
+    :func:`lm_score` calls: the corpus-side token explode — the only
+    corpus-scale stage — runs ONCE, with both models' vocab/bigram
+    joins applied to the same rows (composition would explode the
+    corpus twice; Catalyst never reuses branch subtrees). The two
+    train-side sentinel-pair diamonds stay separate and vocab²-
+    bounded. ``background=None`` scores against ``docs`` itself
+    (the DSIR default: raw-corpus background).
+    """
+    background = docs if background is None else background
+
+    def _side(train: DataFrame, sfx: str):
+        arr_t = F.split(F.trim(F.col(text_col)), r"\s+")
+        pairs = train.select(
+            arr_t.alias("_w"),
+            F.explode(F.sequence(F.lit(0), F.size(arr_t))).alias("_i"),
+        ).select(
+            F.get(F.col("_w"), F.col("_i") - 1).alias("tok_a"),
+            F.get(F.col("_w"), F.col("_i")).alias("tok_b"),
+        )
+        P = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c")).persist()
+        uni = (
+            P.filter(F.col("tok_a").isNotNull())
+            .groupBy("tok_a")
+            .agg(F.sum("c").alias("c1"))
+        )
+        total = uni.agg(F.sum("c1").alias(f"n_tok{sfx}"))
+        big = P.filter(
+            F.col("tok_a").isNotNull() & F.col("tok_b").isNotNull()
+        ).select(
+            F.col("tok_a").alias("w1"),
+            F.col("tok_b").alias("w2"),
+            F.col("c").alias(f"c_ab{sfx}"),
+        )
+        u1 = uni.select(F.col("tok_a").alias("w1"), F.col("c1").alias(f"c_w1{sfx}"))
+        u2 = uni.select(F.col("tok_a").alias("w2"), F.col("c1").alias(f"c_w2{sfx}"))
+        if broadcast_vocab:
+            u1, u2, big = F.broadcast(u1), F.broadcast(u2), big
+        return u1, u2, big, total
+
+    u1t, u2t, bigt, tott = _side(target, "_t")
+    u1b, u2b, bigb, totb = _side(background, "_b")
+
+    arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    rows = docs.select(
+        "doc_id",
+        arr.alias("_w"),
+        F.explode(F.sequence(F.lit(1), F.size(arr))).alias("pos"),
+    ).select(
+        "doc_id",
+        F.get(F.col("_w"), F.col("pos") - 1).alias("w1"),
+        F.get(F.col("_w"), F.col("pos")).alias("w2"),
+    )
+
+    def _score(sfx: str):
+        return F.when(
+            F.col("w2").isNotNull(),
+            F.floor(
+                F.when(
+                    F.col(f"c_ab{sfx}").isNotNull(),
+                    F.col(f"c_ab{sfx}") / F.col(f"c_w1{sfx}"),
+                ).otherwise(
+                    F.lit(alpha)
+                    * F.coalesce(F.col(f"c_w2{sfx}"), F.lit(0))
+                    / F.col(f"n_tok{sfx}")
+                )
+                * F.lit(1_000_000.0)
+            ).cast("bigint"),
+        )
+
+    scored = (
+        rows.join(u1t, "w1", "left")
+        .join(u2t, "w2", "left")
+        .join(bigt, ["w1", "w2"], "left")
+        .join(u1b, "w1", "left")
+        .join(u2b, "w2", "left")
+        .join(bigb, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(tott))
+        .crossJoin(F.broadcast(totb))
+        .select(
+            "doc_id",
+            _score("_t").alias("s_t"),
+            _score("_b").alias("s_b"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s_t").alias("_st"),
+            F.count("s_t").alias("_nt"),
+            F.sum("s_b").alias("_sb"),
+            F.count("s_b").alias("_nb"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("_nt") > 0, F.col("_st") / F.col("_nt")).alias(
+                "target_avg_ppm"
+            ),
+            F.when(F.col("_nb") > 0, F.col("_sb") / F.col("_nb")).alias(
+                "background_avg_ppm"
+            ),
+            (
+                F.when(F.col("_nt") > 0, F.col("_st") / F.col("_nt"))
+                - F.when(F.col("_nb") > 0, F.col("_sb") / F.col("_nb"))
+            ).alias("weight"),
+        )
+    )
