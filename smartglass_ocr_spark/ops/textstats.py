@@ -662,7 +662,7 @@ def quality_filter(
         "doc_id", "top_bigram_frac", "dup_trigram_frac"
     )
     j = base.join(rep, "doc_id")
-    rules: list[tuple[str, "F.Column"]] = [
+    rules: list[tuple[str, Column]] = [
         ("too_short", F.col("n_tokens") < min_tokens),
         ("too_long", F.col("n_tokens") > max_tokens),
         (
@@ -793,7 +793,7 @@ def lm_contrast(
         u1 = uni.select(F.col("tok_a").alias("w1"), F.col("c1").alias(f"c_w1{sfx}"))
         u2 = uni.select(F.col("tok_a").alias("w2"), F.col("c1").alias(f"c_w2{sfx}"))
         if broadcast_vocab:
-            u1, u2, big = F.broadcast(u1), F.broadcast(u2), big
+            u1, u2 = F.broadcast(u1), F.broadcast(u2)
         return u1, u2, big, total
 
     u1t, u2t, bigt, tott = _side(target, "_t")

@@ -96,3 +96,10 @@ def test_composition_matches_independent_chain(spark):
     all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert got == all_ids - drop
     assert len(drop) > 0  # threshold chosen so the graph is non-trivial
+
+
+def test_no_pairs_above_threshold_keeps_everything(spark):
+    out = semantic_dedup(_df(spark), CENTS, threshold=0.9999, keep="peripheral", round_dp=6)
+    rows = {r["vec_id"]: r["component_id"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert all(rows[v] == v for v in rows)  # every doc its own singleton
