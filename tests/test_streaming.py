@@ -305,3 +305,48 @@ def test_stream_dedup_simhash_cross_batch(spark, tmp_path):
     sims = {r["doc_id"]: r["s"] for r in
             flat.select("doc_id", simhash64_column("text").alias("s")).collect()}
     assert sims["orig"] == sims["reordered"]
+
+
+def test_stream_quality_verdicts_matches_batch(spark, tmp_path):
+    """quality verdicts over micro-batches == the batch in-row run ==
+    the batch join-shape run; stateless narrow op, one output row per
+    input doc across batches (maxFilesPerTrigger=1 forces multiple
+    micro-batches)."""
+    from smartglass_ocr_spark.ops.textstats import quality_filter
+    from smartglass_ocr_spark.streaming.pipeline import stream_quality_verdicts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "qsrc")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "qout")
+    ckpt = str(tmp_path / "qckpt")
+    q = (
+        stream_quality_verdicts(stream, langs=("en", "id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        tuple(r)
+        for r in quality_filter(
+            docs, langs=("en", "id"), in_row_repetition=True
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == docs.count()
