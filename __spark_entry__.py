@@ -404,6 +404,20 @@ def _q_lm_score(spark, sf_dir):
     return lm_score(docs, train=train)
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    # dedup-aware split: near-duplicate components hash on their
+    # component label, so near-identical docs can never straddle
+    # train/val/test (same minhash params as the keep-list query)
+    from smartglass_ocr_spark.ops.dedup import (
+        duplicate_components, minhash_lsh_candidates,
+    )
+    from smartglass_ocr_spark.ops.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = duplicate_components(minhash_lsh_candidates(docs, bands=8, n=5))
+    return leakage_safe_split(docs, comps).select("doc_id", "split")
+
+
 def _q_chunk_documents(spark, sf_dir):
     # RAG-style sliding-window chunking: 32-token windows, 8 overlap
     from smartglass_ocr_spark.ops.sampling import chunk_documents
@@ -853,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "chunk_documents": _q_chunk_documents,
         "lm_contrast": _q_lm_contrast,
+        "leakage_safe_split": _q_leakage_safe_split,
         "shuffle_shard": _q_shuffle_shard,
         "bpe_merges": _q_bpe_merges,
         "dedup_incremental": _q_dedup_incremental,
@@ -1438,6 +1453,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM ranked r WHERE r.doc_id = d.doc_id AND r.rk > 1
             )
+        """,
+        # dedup-aware split twin: minhash pairs -> recursive closure
+        # -> md5 bucket on coalesce(component label, own id) with the
+        # hash_split 9000/9500 thresholds
+        "leakage_safe_split": "WITH RECURSIVE " + _MINHASH_PAIRS_CTE + """
+            , edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+                UNION
+                SELECT doc_b AS src, doc_a AS dst FROM mh_pairs
+            ), reach(node, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+            ), comps AS (
+                SELECT node AS doc_id, min(label) AS component_id
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   CASE WHEN ('0x' || substr(md5(
+                            coalesce(c.component_id, d.doc_id) || ':split'
+                        ), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                        WHEN ('0x' || substr(md5(
+                            coalesce(c.component_id, d.doc_id) || ':split'
+                        ), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents d LEFT JOIN comps c USING (doc_id)
         """,
         "dedup_simhash": "WITH " + _SIMHASH_CTE + """
             SELECT doc_id, simhash FROM sims

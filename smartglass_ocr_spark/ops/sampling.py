@@ -377,3 +377,47 @@ def chunk_documents(
             ),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """:func:`hash_split` with the near-duplicate leak closed: every
+    member of a duplicate component hashes on its COMPONENT label,
+    not its own id, so near-identical documents can never straddle
+    train and eval (the contamination mode whole-corpus dedup papers
+    flag — splitting before/without dedup leaks eval text into train
+    verbatim-ish). ``components`` is any (doc_id, component_id)
+    labeling — :func:`ops.dedup.duplicate_components` over
+    MinHash/SimHash/Jaccard pairs, or
+    :func:`ops.similarity.semantic_dedup`'s labels for the embedding
+    variant; docs absent from it (singletons) hash on their own id,
+    which is exactly what the label would be.
+
+    Shape (100 TB): the components frame holds only docs that HAVE a
+    near-duplicate (orders smaller than the corpus — mass duplication
+    belongs to exact dedup first, the repo's standing guidance), so
+    the join broadcasts; the split itself stays a pure projection on
+    ``md5(coalesce(component_id, doc_id) || salt)`` — zero corpus
+    shuffle, same stability contract as ``hash_split`` (appends and
+    engine changes cannot move a document between splits, and a NEW
+    duplicate of a train doc lands in train by construction).
+    """
+    comp = F.broadcast(
+        components.select(
+            F.col("doc_id").alias(key_col), F.col("component_id").alias("_cid")
+        )
+    )
+    joined = docs.join(comp, key_col, "left")
+    effective = F.coalesce(F.col("_cid"), F.col(key_col))
+    out = hash_split(
+        joined.withColumn("_split_key", effective),
+        weights=weights,
+        key_col="_split_key",
+        salt=salt,
+    )
+    return out.drop("_cid", "_split_key")

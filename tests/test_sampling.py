@@ -351,3 +351,53 @@ class TestChunkDocuments:
         )
         assert "Exchange" not in plan, plan
         assert plan.count("FileScan") == 1, plan
+
+
+class TestLeakageSafeSplit:
+    def test_component_members_share_split_and_singletons_match_hash_split(self, spark):
+        from smartglass_ocr_spark.ops.dedup import (
+            duplicate_components, minhash_lsh_candidates,
+        )
+        from smartglass_ocr_spark.ops.sampling import hash_split, leakage_safe_split
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        pairs = minhash_lsh_candidates(docs)
+        comps = duplicate_components(pairs)
+        out = leakage_safe_split(docs, comps)
+
+        comp_map = {r["doc_id"]: r["component_id"] for r in comps.collect()}
+        split_map = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert set(split_map) == {r["doc_id"] for r in docs.collect()}
+
+        # every component's members agree, and equal the label's own split
+        by_comp = {}
+        for d, c in comp_map.items():
+            by_comp.setdefault(c, []).append(d)
+        assert any(len(v) > 1 for v in by_comp.values())
+        for c, members in by_comp.items():
+            splits = {split_map[m] for m in members}
+            assert len(splits) == 1, (c, members, splits)
+            assert split_map[c] == splits.pop()
+
+        # docs with no near-dup split exactly as plain hash_split
+        plain = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+        for d, s in split_map.items():
+            if d not in comp_map:
+                assert s == plain[d]
+
+    def test_zero_corpus_shuffle_plan(self, spark):
+        from smartglass_ocr_spark.ops.sampling import leakage_safe_split
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        comps = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id long, component_id long"
+        )
+        plan = (
+            leakage_safe_split(docs, comps)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
