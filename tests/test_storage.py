@@ -89,3 +89,40 @@ def test_zorder_files_touched_locality(spark, tmp_path):
 
     with pytest.raises(ValueError):
         zorder_write(grid, (), zed)
+
+
+def test_bucketed_tables_join_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the same key join with ZERO Exchange —
+    the co-located-join property the operator exists for; the same
+    join on plain parquet twins shows the shuffle it deletes."""
+    from smartglass_ocr_spark.ops.storage import write_bucketed_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    meta = docs.select("doc_id", F.length("text").alias("n"))
+    write_bucketed_table(docs, "t_docs_b", buckets=4)
+    write_bucketed_table(meta, "t_meta_b", buckets=4)
+    # disable broadcast throughout: BOTH joins must take the
+    # SortMergeJoin shape so the comparison isolates the exchange
+    # (with broadcast on, a small build side would hide the shuffle
+    # and make the bucketed assertion vacuous)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_docs_b").join(spark.table("t_meta_b"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == docs.count()
+
+        # control: the identical join on unbucketed twins shuffles
+        p1, p2 = str(tmp_path / "d"), str(tmp_path / "m")
+        docs.write.parquet(p1)
+        meta.write.parquet(p2)
+        ctrl = spark.read.parquet(p1).join(spark.read.parquet(p2), "doc_id")
+        cplan = ctrl._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in cplan, cplan
+        assert "Exchange hashpartitioning" in cplan, cplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")
+        spark.sql("DROP TABLE IF EXISTS t_meta_b")
