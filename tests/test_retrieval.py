@@ -119,3 +119,9 @@ def test_bm25_plan_shape(spark):
     assert "LeftSemi, BuildRight" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_empty_query_set(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame([], "query_id long, query_text string")
+    assert bm25_topk(docs, queries, k=3).count() == 0
