@@ -1840,15 +1840,19 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
                 FROM documents
             ), c AS (
+                -- sum() over BIGINT is HUGEINT in DuckDB; without the
+                -- cast the derived //, % come back HUGEINT and the
+                -- driver's Arrow canonicalization coerces them to
+                -- float64 (3.0 vs the engine's 3) -> hash mismatch
                 SELECT doc_id, n_tokens,
-                       sum(n_tokens) OVER (
+                       CAST(sum(n_tokens) OVER (
                            ORDER BY doc_id ROWS UNBOUNDED PRECEDING
-                       ) - n_tokens AS s
+                       ) - n_tokens AS BIGINT) AS s
                 FROM t
             )
             SELECT doc_id, n_tokens,
-                   s // 512 AS pack_id,
-                   s % 512 AS pack_offset,
+                   CAST(s // 512 AS BIGINT) AS pack_id,
+                   CAST(s % 512 AS BIGINT) AS pack_offset,
                    (s % 512 + n_tokens > 512)::int AS spans_boundary
             FROM c
         """,

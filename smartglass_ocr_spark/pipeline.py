@@ -425,8 +425,7 @@ def run_pipeline_fused(span_rows: DataFrame,
 
 def run_pipeline_skew_routed(span_rows: DataFrame,
                              mega_doc_spans: int = 32768,
-                             partitions: int | None = None,
-                             max_mega_docs: int = 100_000) -> DataFrame:
+                             partitions: int | None = None) -> DataFrame:
     """Mega-doc straggler mitigation, LOSSLESS (r2 VERDICT #3): docs
     at or under ``mega_doc_spans`` spans take the fused one-exchange
     path; heavier docs are routed through the STAGED path, where the
@@ -440,10 +439,19 @@ def run_pipeline_skew_routed(span_rows: DataFrame,
 
     Routing: one cheap partial-combining count agg finds the mega
     doc_ids (compact (doc_id, n) rows); the — by definition of a
-    heavy TAIL — small id set broadcasts back as an ``isin`` filter,
+    heavy TAIL — small id set is persisted (it is tiny and both
+    branch plans reference it; the cache lives for the session, the
+    caller-owned-unpersist contract) and BROADCAST-joined back as a
+    routing flag (r4 VERDICT #2: the former collected-``isin`` form
+    shipped up to 100k id literals in every task closure of both
+    branches and needed a hard ``max_mega_docs`` ceiling; the join
+    form has no driver collect, no closure payload, and no ceiling),
     so each branch shuffles only its own subset exactly once and no
     exchange-reuse gamble is taken (r2 finding: AQE does not reuse
-    union-branch exchanges). The mega branch is: round-robin spread
+    union-branch exchanges). A NULL ``doc_id`` never matches the
+    join key, so such rows fall through to the small branch exactly
+    as the old ``coalesce(isin, False)`` routing sent them (pinned
+    in tests). The mega branch is: round-robin spread
     -> Arrow classify/clean -> ``applyInPandas`` per doc running only
     the per-doc metadata tail (``golden.document_metadata``) —
     deliberately NOT the staged ``reassemble``/``with_doc_metadata``
@@ -451,11 +459,7 @@ def run_pipeline_skew_routed(span_rows: DataFrame,
     per mega span than the classification they save), and not a JVM
     ``collect_list`` either (flat columnar Arrow transfer into the
     grouped pandas stage benched ~15% faster than building the span
-    structs JVM-side and converting the nested array). ``max_mega_docs``
-    guards the
-    driver collect: if the threshold catches more ids than that, it
-    is not a heavy tail — raise the threshold (or just run the staged
-    pipeline for everything) instead of routing.
+    structs JVM-side and converting the nested array).
 
     The residual serial floor per mega-doc is the per-doc metadata
     pass (format/structure/summary — linear passes over the joined
@@ -463,29 +467,35 @@ def run_pipeline_skew_routed(span_rows: DataFrame,
     pathological documents makes even the linear passes matter."""
     if partitions:
         span_rows = span_rows.repartition(partitions, "doc_id")
-    counts = (
+    mega_ids = (
         span_rows.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") > mega_doc_spans)
+        .select("doc_id")
+        .persist()
     )
-    mega_ids = [r["doc_id"] for r in counts.select("doc_id").limit(max_mega_docs + 1).collect()]
-    if not mega_ids:
+    # the count() both answers "any megas at all?" and eagerly fills
+    # the cache so the agg over span_rows runs ONCE, not once per
+    # branch plan (AQE does not reuse union-branch exchanges)
+    if mega_ids.count() == 0:
+        mega_ids.unpersist()
         return run_pipeline_fused(span_rows)
-    if len(mega_ids) > max_mega_docs:
-        raise ValueError(
-            f"more than {max_mega_docs} docs exceed {mega_doc_spans} spans — "
-            "not a heavy tail; raise mega_doc_spans or use run_pipeline_rows"
-        )
-    # NULL-SAFE routing: isin/~isin both evaluate to NULL on a NULL
-    # doc_id, silently dropping such rows from BOTH branches (r3
-    # ADVICE) — coalesce(False) sends them to the small branch, where
-    # the fused groupBy keeps them as one group exactly like an
-    # unrouted run would
-    is_mega = F.coalesce(F.col("doc_id").isin(mega_ids), F.lit(False))
-    small_out = run_pipeline_fused(span_rows.filter(~is_mega))
+    # NULL-SAFE routing: a NULL doc_id never matches the broadcast
+    # join key, leaves _mega NULL, and coalesce(False) sends the row
+    # to the small branch, where the fused groupBy keeps such rows as
+    # one group exactly like an unrouted run would (r3 ADVICE)
+    routed = span_rows.join(
+        F.broadcast(mega_ids.withColumn("_mega", F.lit(True))),
+        "doc_id",
+        "left",
+    )
+    is_mega = F.coalesce(F.col("_mega"), F.lit(False))
+    small_out = run_pipeline_fused(
+        routed.filter(~is_mega).select(*span_rows.columns)
+    )
     n_parts = span_rows.sparkSession.sparkContext.defaultParallelism
     cleaned = classify_and_clean(
-        span_rows.filter(is_mega).repartition(n_parts)
+        routed.filter(is_mega).select(*span_rows.columns).repartition(n_parts)
     )
 
     def meta_tail(key, pdf):
