@@ -72,6 +72,15 @@ def bm25_topk(
     Robertson argument; ``idf="log"`` wraps it in the Lucene-shaped
     ``ln(1 + ·)`` — monotone per-term, so single-term rankings agree;
     multi-term sums legitimately differ (documented deviation).
+
+    Cache contract (same as ``collocations``): three internal frames
+    (doc lengths, query terms, pruned postings) are ``persist()``-ed
+    because each has two consumers in the returned plan and Catalyst
+    never reuses branch subtrees. They stay cached until the caller
+    unpersists — after materializing the result, call
+    ``spark.catalog.clearCache()`` (or unpersist selectively) in
+    long-lived sessions that invoke this repeatedly, as ``bench.py``
+    does between suite entries.
     """
     if idf not in ("rational", "log"):
         raise ValueError(f"idf must be 'rational' or 'log', got {idf!r}")

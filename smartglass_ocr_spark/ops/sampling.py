@@ -351,6 +351,11 @@ def chunk_documents(
     """
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
+    # NULL text must yield NO chunks: greatest/least ignore NULL
+    # operands, so without this filter a NULL-text doc emitted one
+    # bogus chunk with empty text and n_chunk_tokens = chunk_tokens
+    # (r4 ADVICE). Scan-stage isnotnull, free.
+    docs = docs.filter(F.col(text_col).isNotNull())
     stride = chunk_tokens - overlap
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(w)

@@ -673,6 +673,12 @@ def semantic_dedup(
     clusters, never the corpus. With ``round_dp`` set, assignment and
     pair similarities live on a shared decimal grid, so the full
     pipeline has a DuckDB twin (the ``knn_ivf`` oracle argument).
+
+    Cache contract (same as ``collocations``/``bm25_topk``): the
+    assignment frame stays persisted until the caller unpersists —
+    after materializing the result, ``spark.catalog.clearCache()``
+    (or unpersist selectively) in long-lived sessions that invoke
+    this repeatedly, as ``bench.py`` does between suite entries.
     """
     if keep not in ("peripheral", "central", "min_id"):
         raise ValueError(f"unknown keep policy {keep!r}")

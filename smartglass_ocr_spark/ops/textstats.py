@@ -498,6 +498,15 @@ def lm_score(
     set by construction).
     """
     train = docs if train is None else train
+    # NULL-text docs contribute no rows here today only by accident of
+    # config: size(NULL) is NULL (so the sequence explode emits
+    # nothing) unless spark.sql.legacy.sizeOfNull flips it to -1, in
+    # which case sequence(1,-1) is a DESCENDING [1,0,-1] emitting
+    # phantom bigrams (r4 ADVICE). Declare the drop: a scan-stage
+    # isnotnull is free and config-proof; NULL-text docs are excluded
+    # from scoring on both sides (pinned by a NULL-text edge test).
+    train = train.filter(F.col(text_col).isNotNull())
+    docs = docs.filter(F.col(text_col).isNotNull())
     arr = F.split(F.trim(F.col(text_col)), r"\s+")
     pairs = train.select(
         arr.alias("_w"),
@@ -780,6 +789,11 @@ def lm_contrast(
     (the DSIR default: raw-corpus background).
     """
     background = docs if background is None else background
+    # explicit NULL-text exclusion on every side — same config-proof
+    # guard as lm_score (sequence over size(NULL) must never emit)
+    docs = docs.filter(F.col(text_col).isNotNull())
+    target = target.filter(F.col(text_col).isNotNull())
+    background = background.filter(F.col(text_col).isNotNull())
 
     def _side(train: DataFrame, sfx: str):
         arr_t = F.split(F.trim(F.col(text_col)), r"\s+")

@@ -490,13 +490,18 @@ def _with_part_day(df: DataFrame) -> DataFrame:
     )
 
 
-def _write_grain(df: DataFrame, path: str) -> None:
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_day")
-        .parquet(path)
-    )
+def _write_grain(df: DataFrame, path: str, dynamic: bool = True) -> None:
+    """``dynamic=True`` overwrites only the day partitions present in
+    ``df`` (the refresh unit); ``dynamic=False`` truncates the whole
+    grain path first — the FULL-build mode, so rebuilding into an
+    existing store removes day partitions absent from the new events
+    instead of leaving them stale (r4 ADVICE)."""
+    w = df.write.mode("overwrite")
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    else:
+        w = w.option("partitionOverwriteMode", "static")
+    w.partitionBy("part_day").parquet(path)
 
 
 def write_hierarchical_rollup(events: DataFrame, path: str) -> None:
@@ -506,13 +511,23 @@ def write_hierarchical_rollup(events: DataFrame, path: str) -> None:
     from the hour files (each job's scan is the finer rollup,
     ~1/60th the rows — pinned in tests). Each grain is partitioned by
     day so :func:`refresh_hierarchical_rollup` can overwrite exactly
-    the touched day partitions."""
+    the touched day partitions. A full build writes each grain with a
+    STATIC overwrite (truncate-then-write), so rebuilding into an
+    existing path cannot leave stale day partitions from a previous
+    build (dynamic overwrite is the refresh's mode, not the
+    rebuild's)."""
     spark = events.sparkSession
-    _write_grain(_with_part_day(_rollup_minute(events)), f"{path}/minute")
+    _write_grain(
+        _with_part_day(_rollup_minute(events)), f"{path}/minute", dynamic=False
+    )
     minute = spark.read.parquet(f"{path}/minute")
-    _write_grain(_with_part_day(_rollup_lift(minute, 3600)), f"{path}/hour")
+    _write_grain(
+        _with_part_day(_rollup_lift(minute, 3600)), f"{path}/hour", dynamic=False
+    )
     hour = spark.read.parquet(f"{path}/hour")
-    _write_grain(_with_part_day(_rollup_lift(hour, 86400)), f"{path}/day")
+    _write_grain(
+        _with_part_day(_rollup_lift(hour, 86400)), f"{path}/day", dynamic=False
+    )
 
 
 def refresh_hierarchical_rollup(new_events: DataFrame, path: str) -> list[int]:

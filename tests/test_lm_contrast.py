@@ -59,3 +59,21 @@ def test_target_docs_rank_above_background_only(spark):
         ).agg(F.avg("weight").alias("m")).collect()
     }
     assert means[True] > means[False]
+
+
+def test_null_text_docs_are_excluded_not_phantom(spark):
+    """NULL-text docs must contribute NOTHING to either side of
+    lm_score/lm_contrast — neither phantom bigram rows (the legacy
+    sizeOfNull=-1 descending-sequence trap, r4 ADVICE) nor output
+    rows. The exclusion is now an explicit scan-stage filter, not an
+    accident of size(NULL) semantics."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta"), (2, None), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    scored = lm_score(docs).collect()
+    assert sorted(r["doc_id"] for r in scored) == [1, 3]
+    # token totals see only real docs: 4 + 2 tokens
+    assert {r["doc_id"]: r["n_tokens"] for r in scored} == {1: 4, 3: 2}
+    con = lm_contrast(docs, target=docs.filter("doc_id = 1")).collect()
+    assert sorted(r["doc_id"] for r in con) == [1, 3]

@@ -1300,3 +1300,40 @@ def test_incremental_components_equals_full_rebuild(spark):
     for d, c in base.items():
         if c not in touched_comps:
             assert inc[d] == c, d
+
+
+def test_full_rollup_rebuild_removes_stale_days(spark, tmp_path):
+    """Rebuilding a rollup store from scratch must TRUNCATE each
+    grain: a previous build's day partitions absent from the new
+    events must not survive (r4 ADVICE — dynamic partition overwrite
+    on the FULL build silently left them in all three grains; static
+    overwrite is the rebuild mode, dynamic is the refresh's)."""
+    from smartglass_ocr_spark.ops.windows import (
+        hierarchical_rollup,
+        read_hierarchical_rollup,
+        write_hierarchical_rollup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    day0 = events.agg(
+        F.min(
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86400e6) * 86400)
+            .cast("long")
+        ).alias("d")
+    ).collect()[0]["d"]
+    early = events.filter(
+        F.unix_micros(F.col("ts").cast("timestamp")) < (day0 + 86400) * 1_000_000
+    )
+    late = events.subtract(early)
+    assert early.count() > 0 and late.count() > 0
+
+    path = str(tmp_path / "rollup")
+    write_hierarchical_rollup(early, path)
+    write_hierarchical_rollup(late, path)  # rebuild into the SAME path
+
+    key = ("grain", "bucket_start_s", "event_type")
+    got = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
+           for r in read_hierarchical_rollup(spark, path).collect()}
+    want = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
+            for r in hierarchical_rollup(late).collect()}
+    assert got == want  # no early-day rows linger in any grain

@@ -401,3 +401,20 @@ class TestLeakageSafeSplit:
         assert "BroadcastHashJoin" in plan, plan
         assert "Exchange hashpartitioning" not in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_documents_null_text_yields_no_chunks(spark):
+    """NULL text must produce NO chunk rows: greatest/least ignore
+    NULL operands, so before the explicit filter a NULL-text doc
+    emitted one bogus chunk with empty text and n_chunk_tokens equal
+    to the full chunk size (r4 ADVICE). Empty text keeps its existing
+    one-empty-token chunk semantics."""
+    from smartglass_ocr_spark.ops.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=3, overlap=1).collect()
+    assert sorted({r["doc_id"] for r in out}) == [1, 3]
+    empty = [r for r in out if r["doc_id"] == 3]
+    assert len(empty) == 1 and empty[0]["n_chunk_tokens"] == 1
