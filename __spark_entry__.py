@@ -479,6 +479,141 @@ def _q_bpe_merges(spark, sf_dir):
     )
 
 
+# Fixed merge list for the oracle-able ENCODE contract: training is
+# the non-SQL part (bpe_merges, pytest-pinned); applying a FIXED list
+# is pure replay, which DuckDB reproduces with a replace chain over a
+# wrapped-symbol string (see _bpe_encode_oracle). Tokens are chosen to
+# actually fire on the corpus vocabulary (table/query/order/scan...).
+_BPE_FIXED_MERGES = [
+    (1, "t", "a", 0),
+    (2, "ta", "b", 0),
+    (3, "tab", "l", 0),
+    (4, "tabl", "e", 0),
+    (5, "q", "u", 0),
+    (6, "e", "r", 0),
+    (7, "o", "r", 0),
+    (8, "s", "c", 0),
+]
+
+
+def _q_bpe_encode(spark, sf_dir):
+    # token-ID export under the fixed merge list; the contract row is
+    # scalar (count + md5 of the comma-joined id sequence) because the
+    # driver's value hash is defined over scalar columns
+    from smartglass_ocr_spark.ops.bpe import bpe_encode
+
+    ids = bpe_encode(_t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES)
+    return ids.select(
+        "doc_id",
+        F.size("ids").alias("n_ids"),
+        F.md5(F.concat_ws(",", F.col("ids").cast("array<string>"))).alias(
+            "ids_md5"
+        ),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB replay of the fixed merge list. Each word becomes a
+    wrapped-symbol string chr(1)<sym>chr(2)... ; applying merge (a,b)
+    is one replace() of the wrapped pair with the wrapped concat —
+    replace's leftmost non-overlapping scan that resumes AFTER the
+    replacement is exactly _merge_word's greedy semantics, and the
+    wrappers make cross-symbol false matches impossible (chr(1) only
+    ever precedes a full symbol). Ids: code-point-ranked base chars,
+    then len(alphabet)+i for merge i — the same deterministic scheme
+    bpe_encode builds. Assumes corpus text contains no chr(1)/chr(2)
+    (control chars; holds for the testdata by construction)."""
+    expr = "chr(1) || array_to_string(string_split(w, ''), chr(2) || chr(1)) || chr(2)"
+    for _, a, b, _ in _BPE_FIXED_MERGES:
+        expr = (
+            f"replace({expr}, chr(1) || '{a}' || chr(2) || chr(1) || '{b}' || chr(2),"
+            f" chr(1) || '{a}{b}' || chr(2))"
+        )
+    cases = " ".join(
+        f"WHEN tok = '{a}{b}' THEN {i}"
+        for i, (_, a, b, _) in enumerate(_BPE_FIXED_MERGES)
+    )
+    return f"""
+        WITH alph AS (
+            SELECT DISTINCT ch FROM (
+                SELECT unnest(string_split(
+                    regexp_replace(coalesce(text, ''), '\\s+', '', 'g'), ''
+                )) AS ch
+                FROM documents
+            ) WHERE ch <> ''
+        ), amap AS (
+            SELECT ch, CAST(row_number() OVER (ORDER BY ch ASC) - 1 AS INT) AS cid
+            FROM alph
+        ), na AS (SELECT count(*) AS n FROM amap),
+        words AS (
+            SELECT doc_id, pos, w FROM (
+                SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS a
+                    FROM documents
+                )
+            ) WHERE w <> ''
+        ), seg AS (
+            SELECT doc_id, pos,
+                   string_split(substr(s, 2, len(s) - 2), chr(2) || chr(1)) AS toks
+            FROM (SELECT doc_id, pos, {expr} AS s FROM words)
+        ), tok AS (
+            SELECT doc_id, pos, tpos, tok, CASE {cases} ELSE NULL END AS mrank
+            FROM (
+                SELECT doc_id, pos, unnest(toks) AS tok,
+                       generate_subscripts(toks, 1) AS tpos
+                FROM seg
+            )
+        ), ids AS (
+            SELECT t.doc_id,
+                   list(CAST(CASE WHEN t.mrank IS NOT NULL THEN na.n + t.mrank
+                                  ELSE coalesce(a.cid, -1) END AS VARCHAR)
+                        ORDER BY t.pos, t.tpos) AS id_list
+            FROM tok t LEFT JOIN amap a ON t.tok = a.ch CROSS JOIN na
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(len(i.id_list), 0) AS INT) AS n_ids,
+               md5(coalesce(array_to_string(i.id_list, ','), '')) AS ids_md5
+        FROM documents d LEFT JOIN ids i USING (doc_id)
+    """
+
+
+def _q_bpe_pack(spark, sf_dir):
+    # the composition a pretraining exporter runs: encode to real
+    # token ids under the fixed merges, then lay the id counts end to
+    # end into 512-token context windows — sequence_pack consuming
+    # bpe_encode's output instead of whitespace counts
+    from smartglass_ocr_spark.ops.bpe import bpe_encode
+    from smartglass_ocr_spark.ops.sampling import sequence_pack
+
+    ids = bpe_encode(_t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES)
+    counts = ids.select("doc_id", F.size("ids").alias("n_ids"))
+    return sequence_pack(counts, window=512, tokens_col="n_ids")
+
+
+def _bpe_pack_oracle() -> str:
+    # encode oracle as a CTE, then the global-order cumsum the
+    # two-phase pack must equal by associativity (HUGEINT-cast
+    # discipline per the r4 sequence_pack post-mortem)
+    return f"""
+        WITH enc AS ({_bpe_encode_oracle()}),
+        c AS (
+            SELECT doc_id, n_ids,
+                   CAST(sum(n_ids) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) - n_ids AS BIGINT) AS s
+            FROM enc
+        )
+        SELECT doc_id, n_ids,
+               CAST(s // 512 AS BIGINT) AS pack_id,
+               CAST(s % 512 AS BIGINT) AS pack_offset,
+               (s % 512 + n_ids > 512)::int AS spans_boundary
+        FROM c
+    """
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # continuous-ingestion dedup: the standing corpus is src0-17 (its
     # signature index computed in-query; production reads it from
@@ -870,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "shuffle_shard": _q_shuffle_shard,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
+        "bpe_pack": _q_bpe_pack,
         "dedup_incremental": _q_dedup_incremental,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
@@ -1856,6 +1993,8 @@ def oracle_sql() -> dict[str, str]:
                    (s % 512 + n_tokens > 512)::int AS spans_boundary
             FROM c
         """,
+        "bpe_encode": _bpe_encode_oracle(),
+        "bpe_pack": _bpe_pack_oracle(),
         "vocab_topk": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -183,6 +183,103 @@ def bpe_merges_table(
     )
 
 
+def bpe_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """The base-symbol vocabulary: every distinct non-whitespace
+    character in the corpus, sorted by code point. One corpus scan
+    into a distinct agg whose result is alphabet-sized (bounded by
+    the character set, not the corpus) — collected because it IS the
+    model artifact the encoder broadcasts."""
+    return sorted(
+        r["ch"]
+        for r in docs.select(
+            F.explode(
+                F.split(
+                    F.regexp_replace(
+                        F.coalesce(F.col(text_col), F.lit("")), r"\s+", ""
+                    ),
+                    "",
+                )
+            ).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+        .collect()
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alphabet: list[str] | None = None,
+) -> DataFrame:
+    """Apply learned merges and emit the token-ID sequence a training
+    pipeline actually exports: ``(doc_id, ids array<int>)`` (r4
+    VERDICT #5 — ``bpe_token_counts`` counts tokens but does not
+    produce the ids).
+
+    Vocabulary ids are deterministic pure functions of the inputs, so
+    a SQL oracle can replay them: base characters take ids
+    ``0..len(alphabet)-1`` in code-point order, and the token created
+    by the ``i``-th merge in ``merges`` (list order) takes id
+    ``len(alphabet) + i``. If two merges produce the same token
+    string the FIRST id wins (a trained merge list never does this —
+    a merged pair cannot reappear — but arbitrary caller lists can).
+    A symbol outside the vocabulary encodes as ``-1`` (UNK); NULL
+    text encodes as an empty sequence, keeping the doc row (a packing
+    stage downstream sees ``n=0`` instead of losing the doc).
+
+    Segmentation is the standard greedy left-to-right non-overlapping
+    replay of the merge list in order — byte-equal to iterating
+    ``_merge_word`` (pytest-pinned against the pure-Python twin, and
+    oracle-checked against a DuckDB ``replace``-chain replay of a
+    fixed merge list).
+
+    Shape (100 TB): merge list + vocab broadcast once; ONE corpus
+    scan, one Arrow crossing, ZERO shuffle — id rows inherit the
+    scan's partitioning (plan-pinned). The per-batch word cache makes
+    the per-word Python amortize over Zipfian text exactly like
+    ``bpe_token_counts``. ``alphabet`` defaults to
+    :func:`bpe_alphabet` over ``docs`` (one extra slim scan); pass
+    the trained artifact to skip it.
+    """
+    from pyspark.sql.types import IntegerType
+
+    spark = docs.sparkSession
+    if alphabet is None:
+        alphabet = bpe_alphabet(docs, text_col)
+    vocab: dict[str, int] = {ch: i for i, ch in enumerate(alphabet)}
+    n_alpha = len(vocab)
+    for i, (_, a, b, _) in enumerate(merges):
+        vocab.setdefault(a + b, n_alpha + i)
+    bc = spark.sparkContext.broadcast(([(a, b) for _, a, b, _ in merges], vocab))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def enc(texts: pd.Series) -> pd.Series:
+        pairs, voc = bc.value
+        cache: dict[str, list[int]] = {}
+
+        def seg(w: str) -> list[int]:
+            got = cache.get(w)
+            if got is None:
+                syms = list(w)
+                for a, b in pairs:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_word(syms, a, b)
+                got = cache[w] = [voc.get(s, -1) for s in syms]
+            return got
+
+        return texts.map(
+            lambda t: [i for w in t.split() for i in seg(w)] if t else []
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), enc(F.col(text_col)).alias("ids")
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame,
     merges: list[tuple[int, str, str, int]],

@@ -1337,3 +1337,82 @@ def test_full_rollup_rebuild_removes_stale_days(spark, tmp_path):
     want = {tuple(r[k] for k in key): (r["n"], r["total_value"], r["avg_value"])
             for r in hierarchical_rollup(late).collect()}
     assert got == want  # no early-day rows linger in any grain
+
+
+def _ref_encode(texts_by_id, merges, alphabet=None):
+    """Pure-Python encode twin: replay merges in order per word,
+    map symbols to deterministic ids (code-point-ranked chars, then
+    len(alphabet)+i for merge i, first-wins on token collisions)."""
+    if alphabet is None:
+        alphabet = sorted({c for t in texts_by_id.values() if t for c in t if not c.isspace()})
+    vocab = {c: i for i, c in enumerate(alphabet)}
+    n = len(vocab)
+    for i, (_, a, b, _) in enumerate(merges):
+        vocab.setdefault(a + b, n + i)
+
+    def seg(w):
+        syms = list(w)
+        for _, a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return [vocab.get(s, -1) for s in syms]
+
+    return {
+        d: ([i for w in t.split() for i in seg(w)] if t else [])
+        for d, t in texts_by_id.items()
+    }
+
+
+def test_bpe_encode_matches_reference_on_trained_merges(spark):
+    """bpe_encode == the pure-Python twin id-for-id, using merges the
+    trainer itself learned (not just a hand list) on a real corpus
+    slice — the export a packing stage consumes."""
+    from smartglass_ocr_spark.ops.bpe import bpe_encode, bpe_train
+
+    real = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).limit(80)
+    texts = {r["doc_id"]: r["text"] for r in real.select("doc_id", "text").collect()}
+    merges = bpe_train(real, n_merges=12)
+    assert merges  # the corpus must actually train something
+    got = {r["doc_id"]: list(r["ids"]) for r in bpe_encode(real, merges).collect()}
+    assert got == _ref_encode(texts, merges)
+
+
+def test_bpe_encode_edges_null_unk_and_plan(spark):
+    """NULL text keeps its row with an EMPTY id sequence (a packing
+    stage sees n=0 instead of losing the doc); symbols outside a
+    caller-supplied alphabet encode as -1 (UNK); and the plan is one
+    Arrow crossing with zero exchanges (encode rows inherit the
+    scan's partitioning)."""
+    from smartglass_ocr_spark.ops.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ba"), (2, None), (3, "az")], "doc_id long, text string"
+    )
+    merges = [(1, "a", "b", 0)]
+    out = {r["doc_id"]: list(r["ids"]) for r in bpe_encode(docs, merges).collect()}
+    # alphabet {a,b,z} -> a=0 b=1 z=2, merge ab=3
+    assert out == {1: [3, 1, 0], 2: [], 3: [0, 2]}
+    # restricted alphabet: z unknown -> -1
+    out2 = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe_encode(docs, merges, alphabet=["a", "b"]).collect()
+    }
+    assert out2 == {1: [2, 1, 0], 2: [], 3: [0, -1]}
+
+    docs_real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bpe_encode(docs_real, merges, alphabet=["a", "b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
