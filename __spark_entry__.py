@@ -614,6 +614,172 @@ def _bpe_pack_oracle() -> str:
     """
 
 
+def _q_curation_end_to_end(spark, sf_dir):
+    """The REAL pipeline a curation run chains (r4 VERDICT #4) —
+    quality gate -> exact dedup -> MinHash keep-list -> benchmark
+    decontamination -> leakage-safe split -> token counts -> sequence
+    packing — as ONE contract query, so interface drift between
+    families verified only in isolation fails the driver gate.
+    Every stage reuses its oracle-green operator with the SAME
+    parameters as that stage's standalone contract query.
+
+    Scale shape: the quality verdict rides ONE corpus scan
+    (passthrough carries source/text — no join-back); exact dedup is
+    one md5-keyed window exchange; the dedup/decontaminate/split
+    stages inherit their operators' bucketed/broadcast shapes; the
+    two multi-consumer frames (post-exact-dedup corpus, final
+    survivor set) are persisted because Catalyst never reuses branch
+    subtrees (caller-owned-unpersist contract, as documented on
+    bm25_topk)."""
+    from pyspark.sql import Window
+
+    from smartglass_ocr_spark.ops.dedup import (
+        decontaminate,
+        dedup_keep_list,
+        duplicate_components,
+        minhash_lsh_candidates,
+    )
+    from smartglass_ocr_spark.ops.sampling import (
+        leakage_safe_split,
+        sequence_pack,
+    )
+    from smartglass_ocr_spark.ops.textstats import quality_filter, token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source").isin("src18", "src19"))
+    corpus = docs.filter(~F.col("source").isin("src18", "src19"))
+    # language gate DISABLED (langs=()): the synthetic corpus is
+    # keyword soup, predicted 'other' for every doc — with the gate on
+    # the composition is vacuously 0 rows. Disabled, the quality stage
+    # meaningfully partitions the corpus (stopword rule still drops
+    # ~1/3 at sf0.01); the oracle filters the 'language' token out of
+    # the reasons list to match.
+    kept1 = (
+        quality_filter(corpus, langs=(), passthrough=("source", "text"))
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id", "source", "text")
+    )
+    w_md5 = Window.partitionBy(F.md5(F.col("text")))
+    kept2 = (
+        kept1.withColumn("_keep", F.min("doc_id").over(w_md5))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+        .persist()
+    )
+    comps = duplicate_components(minhash_lsh_candidates(kept2, bands=8, n=5))
+    # keep-list emits surviving ids only; semi-join them back against
+    # the (cached) corpus frame to carry text into the later stages
+    kept3 = kept2.join(
+        dedup_keep_list(kept2, comps, keep="min_id"), "doc_id", "left_semi"
+    )
+    clean = decontaminate(kept3, bench, n=4)
+    kept4 = kept3.join(
+        clean.filter(F.col("contaminated") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).persist()
+    split = leakage_safe_split(kept4, comps).select("doc_id", "split")
+    toks = token_counts(kept4).select("doc_id", "n_tokens")
+    packed = sequence_pack(toks, window=512, group_size=64)
+    return packed.join(split, "doc_id").select(
+        "doc_id", "split", "n_tokens", "pack_id", "pack_offset", "spans_boundary"
+    )
+
+
+def _curation_oracle() -> str:
+    """One DuckDB CTE stack composing the stages' oracle SQL: the
+    quality body re-sourced to the benchmark-free corpus, the MinHash
+    pair CTEs re-sourced to the post-exact-dedup survivors (names
+    prefixed to avoid colliding with the quality body's), then the
+    recursive component closure, keep-list anti-filter,
+    decontamination, component-hashed split, and the global-order
+    cumsum pack (HUGEINT-cast discipline throughout)."""
+    import re as _re
+
+    quality = _QUALITY_BODY.replace("FROM documents", "FROM corpus0")
+    mh = _MINHASH_PAIRS_CTE.replace("FROM documents", "FROM kept2")
+    for name in ("toks", "sh", "sigs", "bwidth", "mh_pairs"):
+        mh = _re.sub(rf"\b{name}\b", f"mh_{name}", mh)
+    return rf"""
+        WITH RECURSIVE corpus0 AS (
+            SELECT * FROM documents WHERE source NOT IN ('src18', 'src19')
+        ), {quality}, q AS (
+            -- language gate disabled on the Spark side (langs=());
+            -- the shared quality body hardcodes the rule, so strip
+            -- its token from the reasons list instead
+            SELECT doc_id FROM r
+            WHERE len(list_filter(string_split(reasons, ','),
+                                  x -> x NOT IN ('language', ''))) = 0
+        ), kept1 AS (
+            SELECT d.* FROM corpus0 d JOIN q USING (doc_id)
+        ), x AS (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM kept1
+        ), kept2 AS (
+            SELECT d.* FROM kept1 d JOIN x ON d.doc_id = x.doc_id AND x.doc_id = x.keep_id
+        ), {mh}, edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM mh_mh_pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM mh_mh_pairs
+        ), reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.src, rr.label FROM edges e JOIN reach rr ON e.dst = rr.node
+        ), comps AS (
+            SELECT node AS doc_id, min(label) AS component_id
+            FROM reach GROUP BY node
+        ), kept3 AS (
+            SELECT k.* FROM kept2 k
+            WHERE k.doc_id NOT IN (
+                SELECT doc_id FROM comps WHERE doc_id <> component_id
+            )
+        ), bgt AS (
+            SELECT regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE source IN ('src18', 'src19')
+        ), bg AS (
+            SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS shingle
+            FROM bgt, UNNEST(range(1, greatest(1, len(w) - 3) + 1)) AS t(i)
+        ), ct AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM kept3
+        ), cg AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS shingle
+            FROM ct, UNNEST(range(1, greatest(1, len(w) - 3) + 1)) AS t(i)
+        ), cont AS (
+            SELECT cg.doc_id, count(bg.shingle) AS n_cont
+            FROM cg LEFT JOIN bg ON cg.shingle = bg.shingle
+            GROUP BY cg.doc_id
+        ), kept4 AS (
+            SELECT k.* FROM kept3 k JOIN cont c
+              ON k.doc_id = c.doc_id AND c.n_cont = 0
+        ), spl AS (
+            SELECT d.doc_id,
+                   CASE WHEN ('0x' || substr(md5(
+                            coalesce(c.component_id, d.doc_id) || ':split'
+                        ), 1, 8))::BIGINT % 10000 < 9000 THEN 'train'
+                        WHEN ('0x' || substr(md5(
+                            coalesce(c.component_id, d.doc_id) || ':split'
+                        ), 1, 8))::BIGINT % 10000 < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM kept4 d LEFT JOIN comps c USING (doc_id)
+        ), tokn AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+            FROM kept4
+        ), cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS BIGINT) AS s
+            FROM tokn
+        )
+        SELECT c.doc_id, s.split, c.n_tokens,
+               CAST(c.s // 512 AS BIGINT) AS pack_id,
+               CAST(c.s % 512 AS BIGINT) AS pack_offset,
+               (c.s % 512 + c.n_tokens > 512)::int AS spans_boundary
+        FROM cum c JOIN spl s USING (doc_id)
+    """
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # continuous-ingestion dedup: the standing corpus is src0-17 (its
     # signature index computed in-query; production reads it from
@@ -1007,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "bpe_pack": _q_bpe_pack,
+        "curation_end_to_end": _q_curation_end_to_end,
         "dedup_incremental": _q_dedup_incremental,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
@@ -1102,8 +1269,10 @@ def _lm_score_case(sfx: str) -> str:
                        END"""
 
 
-_QUALITY_CTE = r"""
-            WITH f AS (
+# body-only (no WITH) so compositions can re-source and inline it;
+# _QUALITY_CTE below keeps the original prepended-WITH form
+_QUALITY_BODY = r"""
+            f AS (
                 SELECT doc_id, source,
                        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
                        length(text) AS n_chars,
@@ -1184,6 +1353,8 @@ _QUALITY_CTE = r"""
                 ) AS reasons FROM j
             )
 """
+
+_QUALITY_CTE = "\nWITH " + _QUALITY_BODY
 
 _SIMHASH_CTE = """
     toks AS (
@@ -1995,6 +2166,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_encode": _bpe_encode_oracle(),
         "bpe_pack": _bpe_pack_oracle(),
+        "curation_end_to_end": _curation_oracle(),
         "vocab_topk": r"""
             WITH t AS (
                 SELECT doc_id,

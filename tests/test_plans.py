@@ -219,3 +219,22 @@ def test_skew_routed_broadcast_join_not_isin(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "INSET" not in plan, plan
     assert not re.search(r"doc_id#\d+L? IN \(", plan), plan
+
+
+def test_curation_end_to_end_plan_budget(spark, queries):
+    """Budget pin for the composed curation pipeline (r4 VERDICT #4):
+    composition must not quietly multiply corpus scans or exchanges.
+    The printed counts include cached subtrees re-printed under every
+    InMemoryTableScan (the repo's known plan-string caveat), so they
+    overstate the EXECUTED work — but they are deterministic for a
+    fixed plan, which makes them a regression ceiling: a stage that
+    stops hitting the cache or re-derives the corpus shows up as a
+    jump. Measured at authoring time: 51 FileScans / 68 exchanges /
+    39 broadcast joins, cache reuse in place, no cartesian products,
+    no per-row Python."""
+    plan = _plan(queries["curation_end_to_end"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("InMemoryTableScan") >= 10, "cache reuse disappeared"
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BatchEvalPython") == 0
+    assert plan.count("FileScan parquet") <= 51, plan.count("FileScan parquet")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 68
