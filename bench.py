@@ -290,8 +290,12 @@ def main() -> None:
         eff = tput_4n / (4 * tput_n)
         result.update(
             {
+                # value IS the efficiency (a reader pairing metric
+                # with value must not get 4N wall seconds instead);
+                # the walls stay available under "queries"
                 "metric": "scaling_efficiency",
-                "value": round(wall_4n, 3),
+                "value": round(eff, 3),
+                "unit": "ratio",
                 "queries": {"flagship@N": round(wall_n, 3), "flagship@4N": round(wall_4n, 3)},
                 "executors_n": f"1x{cores_per_worker}",
                 "executors_4n": f"4x{cores_per_worker}",

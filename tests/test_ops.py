@@ -1416,3 +1416,26 @@ def test_bpe_encode_edges_null_unk_and_plan(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_bpe_encode_length_agrees_with_token_counts(spark):
+    """Cross-operator consistency: the encoded id-sequence length must
+    equal bpe_token_counts' n_subwords doc-for-doc under the same
+    merges (two independent implementations of the same segmentation —
+    counting via the text UDF, encoding via the vocab UDF)."""
+    from smartglass_ocr_spark.ops.bpe import (
+        bpe_encode, bpe_token_counts, bpe_train,
+    )
+
+    real = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).limit(60)
+    merges = bpe_train(real, n_merges=8)
+    n_enc = {
+        r["doc_id"]: len(r["ids"]) for r in bpe_encode(real, merges).collect()
+    }
+    n_cnt = {
+        r["doc_id"]: r["n_subwords"]
+        for r in bpe_token_counts(real, merges).collect()
+    }
+    assert n_enc == n_cnt
