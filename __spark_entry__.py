@@ -590,7 +590,10 @@ def _q_bpe_pack(spark, sf_dir):
 
     ids = bpe_encode(_t(spark, sf_dir, "documents"), _BPE_FIXED_MERGES)
     counts = ids.select("doc_id", F.size("ids").alias("n_ids"))
-    return sequence_pack(counts, window=512, tokens_col="n_ids")
+    # group_size=64 as in the sibling pack queries: contract-SF doc
+    # ids are < 100k, so the default group size would put every doc in
+    # group 0 and never exercise the two-phase multi-group prefix
+    return sequence_pack(counts, window=512, group_size=64, tokens_col="n_ids")
 
 
 def _bpe_pack_oracle() -> str:
@@ -700,6 +703,19 @@ def _curation_oracle() -> str:
     mh = _MINHASH_PAIRS_CTE.replace("FROM documents", "FROM kept2")
     for name in ("toks", "sh", "sigs", "bwidth", "mh_pairs"):
         mh = _re.sub(rf"\b{name}\b", f"mh_{name}", mh)
+    # string-surgery guards: the snippets are shared spec text edited
+    # elsewhere — if a future edit changes the FROM spelling or adds a
+    # CTE name this rename loop doesn't know, fail HERE at import time
+    # with a clear message, not downstream with a wrong composed query
+    assert "FROM documents" not in quality and "FROM documents" not in mh, (
+        "curation oracle: a shared CTE body gained an un-re-sourced "
+        "'FROM documents' — update _curation_oracle's replaces"
+    )
+    declared = set(_re.findall(r"(\w+) AS \(", mh))
+    assert declared == {"mh_toks", "mh_sh", "mh_sigs", "mh_bwidth", "mh_mh_pairs"}, (
+        f"curation oracle: _MINHASH_PAIRS_CTE declares unexpected CTEs "
+        f"{declared} — update the rename list"
+    )
     return rf"""
         WITH RECURSIVE corpus0 AS (
             SELECT * FROM documents WHERE source NOT IN ('src18', 'src19')

@@ -477,18 +477,22 @@ def run_pipeline_skew_routed(span_rows: DataFrame,
     # the count() both answers "any megas at all?" and eagerly fills
     # the cache so the agg over span_rows runs ONCE, not once per
     # branch plan (AQE does not reuse union-branch exchanges)
-    if mega_ids.count() == 0:
+    n_mega = mega_ids.count()
+    if n_mega == 0:
         mega_ids.unpersist()
         return run_pipeline_fused(span_rows)
     # NULL-SAFE routing: a NULL doc_id never matches the broadcast
     # join key, leaves _mega NULL, and coalesce(False) sends the row
     # to the small branch, where the fused groupBy keeps such rows as
-    # one group exactly like an unrouted run would (r3 ADVICE)
-    routed = span_rows.join(
-        F.broadcast(mega_ids.withColumn("_mega", F.lit(True))),
-        "doc_id",
-        "left",
-    )
+    # one group exactly like an unrouted run would (r3 ADVICE).
+    # The broadcast hint is gated on the measured id count: a mis-set
+    # threshold that catches tens of millions of "megas" must degrade
+    # to a shuffle join, not force an unbounded driver collect (the
+    # old ceiling's failure mode without its hard error).
+    flag = mega_ids.withColumn("_mega", F.lit(True))
+    if n_mega <= 10_000_000:
+        flag = F.broadcast(flag)
+    routed = span_rows.join(flag, "doc_id", "left")
     is_mega = F.coalesce(F.col("_mega"), F.lit(False))
     small_out = run_pipeline_fused(
         routed.filter(~is_mega).select(*span_rows.columns)

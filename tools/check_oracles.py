@@ -56,8 +56,6 @@ def _canon(v) -> str:
         return s.rstrip("0").rstrip(".") if "." in s else s
     if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
-    if v is getattr(__import__("pandas"), "NaT", object()):
-        return "NULL"
     return str(v)
 
 
@@ -92,6 +90,8 @@ def main() -> None:
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracles.py [--json OUT.json] [query ...]")
         json_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     wanted = args
@@ -112,21 +112,40 @@ def main() -> None:
         for name, fn in qs.items():
             if wanted and name not in wanted:
                 continue
-            if name not in oracles:
-                if json_path:  # rows-only check, mirrors the driver's weaker gate
-                    n = fn(spark, SF_DIR).count()
-                    report[name] = {
-                        "rows_match": None,
-                        "schema_match": None,
-                        "hash_match": None,
-                        "spark_rows": n,
-                        "oracle_rows": None,
-                        "err": "no_oracle",
-                    }
-                    print(f"....  {name}: no_oracle, spark_rows={n}")
+            try:
+                if name not in oracles:
+                    # rows-only check, mirroring the driver's weaker
+                    # gate — also when the name was EXPLICITLY asked
+                    # for (silently skipping it would read as a green
+                    # oracle check that never ran)
+                    if json_path or name in wanted:
+                        n = fn(spark, SF_DIR).count()
+                        report[name] = {
+                            "rows_match": None,
+                            "schema_match": None,
+                            "hash_match": None,
+                            "spark_rows": n,
+                            "oracle_rows": None,
+                            "err": "no_oracle",
+                        }
+                        print(f"....  {name}: no_oracle, spark_rows={n}")
+                    continue
+                sdf = fn(spark, SF_DIR).toPandas()
+                ddf = con.sql(oracles[name]).df()
+            except Exception as exc:  # record, keep sweeping
+                msg = f"{type(exc).__name__}: {exc}"
+                print(f"ERR   {name}: {msg.splitlines()[0][:200]}")
+                failures.append(name)
+                report[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": msg[:500],
+                }
+                spark.catalog.clearCache()
                 continue
-            sdf = fn(spark, SF_DIR).toPandas()
-            ddf = con.sql(oracles[name]).df()
             scols, srows = frame_rows(sdf)
             dcols, drows = frame_rows(ddf)
             ok_n = len(srows) == len(drows)
@@ -155,6 +174,10 @@ def main() -> None:
                 "oracle_rows": len(drows),
                 "err": None,
             }
+            # same hygiene bench.py applies between entries: operators
+            # with caller-owned persists otherwise accumulate cached
+            # blocks across the 72-entry sweep
+            spark.catalog.clearCache()
     finally:
         spark.stop()
     if json_path:
