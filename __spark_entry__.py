@@ -796,6 +796,121 @@ def _curation_oracle() -> str:
     """
 
 
+# RAG retrieval composition: a FIXED query text (corpus-vocabulary
+# words) embedded with the same deterministic signed-lane scheme as
+# the chunks, so the whole text -> chunk -> embed -> top-k chain is
+# oracle-exact integer arithmetic end to end.
+_RAG_QUERY_TEXT = "table scan query order key"
+_RAG_DIMS = 8
+_RAG_K = 10
+
+
+def _rag_query_vec() -> list[int]:
+    # lane j of a token = +-1 by nibble j of ONE md5 (the simhash lane
+    # discipline — one digest per token, not one per lane); the query
+    # vector is the token-wise lane sum. hashlib md5 == Spark md5 ==
+    # DuckDB md5 on the same bytes.
+    import hashlib
+
+    toks = _RAG_QUERY_TEXT.split()
+    return [
+        sum(
+            1 if hashlib.md5(t.encode()).hexdigest()[j] >= "8" else -1
+            for t in toks
+        )
+        for j in range(_RAG_DIMS)
+    ]
+
+
+def _q_rag_end_to_end(spark, sf_dir):
+    """Text -> RAG retrieval in one contract row: sliding-window
+    chunking, deterministic signed-lane chunk embeddings (integer
+    vectors — md5 nibble lanes, the simhash shape), and top-k chunks
+    for the fixed query by INNER PRODUCT (MIPS — exact integer
+    scores, no sqrt/libm anywhere, hence oracle-exact; cosine is the
+    production swap and shares the plan shape).
+
+    Scale shape: chunks inherit the scan's partitioning (zero
+    shuffle), the token x lane explode feeds ONE fused codegen agg —
+    score = sum(s * q_j) directly, never a materialized per-lane
+    embedding join — and the global top-k is orderBy+limit, which
+    Spark executes as TakeOrderedAndProject (per-partition partial
+    top-k merged on the driver: k rows, not a global sort). Pinned:
+    1 hash exchange, TakeOrderedAndProject, no interpreted lambdas."""
+    from smartglass_ocr_spark.ops.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    tok = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(F.split(F.trim(F.col("chunk_text")), r"\s+")).alias("tok"),
+    )
+    lanes = tok.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_RAG_DIMS - 1))).alias("j"),
+        F.md5(F.col("tok")).alias("_h"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "j",
+        F.when(
+            F.substring(F.col("_h"), F.col("j") + 1, 1) >= "8", F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    q = _rag_query_vec()
+    qj = F.element_at(
+        F.array(*[F.lit(v) for v in q]), F.col("j") + 1
+    )
+    scored = (
+        lanes.groupBy("doc_id", "chunk_id")
+        .agg(F.sum(F.col("s") * qj).alias("score"))
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("chunk_id")
+    ).limit(_RAG_K)
+
+
+def _rag_oracle() -> str:
+    qv = ", ".join(f"({j}, {v})" for j, v in enumerate(_rag_query_vec()))
+    return rf"""
+        WITH d AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents
+        ), sz AS (
+            SELECT doc_id, w, len(w) AS n,
+                   1 + CAST(floor(
+                       (greatest(0, len(w) - 32) + 23) / 24
+                   ) AS INT) AS n_chunks
+            FROM d
+        ), chunks AS (
+            SELECT doc_id, i AS chunk_id,
+                   array_to_string(w[1 + i * 24 : 1 + i * 24 + 31], ' ')
+                       AS chunk_text
+            FROM sz, UNNEST(range(0, n_chunks)) AS t(i)
+        ), tok AS (
+            SELECT doc_id, chunk_id,
+                   unnest(regexp_split_to_array(trim(chunk_text), '\s+')) AS tok
+            FROM chunks
+        ), lanes AS (
+            SELECT doc_id, chunk_id, j,
+                   CASE WHEN substr(md5(tok), CAST(j + 1 AS INT), 1) >= '8'
+                        THEN 1 ELSE -1 END AS s
+            FROM tok, UNNEST(range(0, {_RAG_DIMS})) AS t(j)
+        ), qv(j, q) AS (
+            VALUES {qv}
+        )
+        SELECT doc_id, chunk_id, CAST(sum(s * q) AS BIGINT) AS score
+        FROM lanes JOIN qv USING (j)
+        GROUP BY doc_id, chunk_id
+        ORDER BY score DESC, doc_id ASC, chunk_id ASC
+        LIMIT {_RAG_K}
+    """
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # continuous-ingestion dedup: the standing corpus is src0-17 (its
     # signature index computed in-query; production reads it from
@@ -1190,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "bpe_pack": _q_bpe_pack,
         "curation_end_to_end": _q_curation_end_to_end,
+        "rag_end_to_end": _q_rag_end_to_end,
         "dedup_incremental": _q_dedup_incremental,
         "repetition_signals": _q_repetition_signals,
         "sequence_pack": _q_sequence_pack,
@@ -2183,6 +2299,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         "bpe_pack": _bpe_pack_oracle(),
         "curation_end_to_end": _curation_oracle(),
+        "rag_end_to_end": _rag_oracle(),
         "vocab_topk": r"""
             WITH t AS (
                 SELECT doc_id,

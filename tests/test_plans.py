@@ -238,3 +238,16 @@ def test_curation_end_to_end_plan_budget(spark, queries):
     assert plan.count("BatchEvalPython") == 0
     assert plan.count("FileScan parquet") <= 51, plan.count("FileScan parquet")
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 68
+
+
+def test_rag_end_to_end_plan_topk_not_global_sort(spark, queries):
+    """The RAG retrieval composition's global top-k must execute as
+    TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    driver), NEVER a global Sort; the chunk -> lane explode feeds ONE
+    fused codegen agg (single hash exchange) with no interpreted
+    lambdas and no per-row Python."""
+    plan = _plan(queries["rag_end_to_end"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "lambdafunction" not in plan
+    assert "BatchEvalPython" not in plan
